@@ -1,0 +1,201 @@
+"""The adapter = the expression engine (SURVEY.md §2.3, P1-P12).
+
+Re-expresses the reference's Aloware/HubSpot adapters
+(``src/adapters/aloware.adapter.ts``, ``src/adapters/hubspot.adapter.ts``) as
+pure Spark column expressions over a *webhook-shaped* DataFrame with columns::
+
+    source        string      -- envelope source tag ("ALOWARE", "HUBSPOT", ...)
+    event_name    string      -- e.g. "outbound_call" (aloware.adapter.ts:56)
+    ext_id        long        -- body.id             (aloware.adapter.ts:92)
+    uuid_v4       string      -- body.uuid_v4 fallback id
+    direction     long        -- 1=inbound 2=outbound (aloware.adapter.ts:39-42)
+    type_code     long        -- 1=call 2=text        (aloware.adapter.ts:47-48)
+    created_at_raw string     -- ISO or "YYYY-MM-DD HH:mm:ss" (adapter:24-33)
+    owner_id      long        -- preferred agent id   (adapter:84)
+    user_id       long        -- fallback agent id
+    tz            string      -- contact.timezone IANA (adapter:88-89)
+    receivedAt    timestamp   -- envelope arrival     (router.ts:13)
+
+Every function returns a ``Column`` so Catalyst sees one flat projection —
+filters fold into the Parquet scan, the whole chain stays inside
+whole-stage codegen, and nothing here ever shuffles.
+
+ANSI note: Spark 4 runs ANSI-on by default; the reference's tolerant parses
+(invalid timestamp → null, invalid tz → UTC) are expressed with
+``try_to_timestamp`` and a whitelist gate instead of exception-driven
+fallbacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference source→metric mapping tables (src/domain/mapping.ts:6-14).
+ALOWARE_TO_METRIC = {"outbound_call": "CALLS", "outbound_text": "TEXTS"}
+HUBSPOT_TO_METRIC = {"email_sent": "EMAILS", "case_created": "CASES"}
+
+# IANA zones the engine recognizes; anything else falls back to UTC exactly as
+# the reference's try/catch does (aloware.adapter.ts:19-21). Extend freely —
+# membership is a broadcast-literal `isin`, still codegen'd.
+KNOWN_TIMEZONES = (
+    "UTC",
+    "America/New_York",
+    "America/Chicago",
+    "America/Denver",
+    "America/Los_Angeles",
+    "America/Phoenix",
+    "Europe/London",
+    "Europe/Berlin",
+    "Europe/Paris",
+    "Asia/Tokyo",
+    "Asia/Kolkata",
+    "Australia/Sydney",
+)
+
+
+def is_outbound(event_name: Column, direction: Column) -> Column:
+    """P3 outbound predicate (aloware.adapter.ts:35-43).
+
+    name contains outbound/outgoing → true; contains inbound → false; else
+    direction 2 → true, 1 → false; default false.
+    """
+    name = F.lower(F.coalesce(event_name, F.lit("")))
+    return (
+        F.when(name.contains("outbound") | name.contains("outgoing"), F.lit(True))
+        .when(name.contains("inbound"), F.lit(False))
+        .when(direction == 2, F.lit(True))
+        .when(direction == 1, F.lit(False))
+        .otherwise(F.lit(False))
+    )
+
+
+def infer_metric(event_name: Column, type_code: Column) -> Column:
+    """P4 metric classifier (aloware.adapter.ts:45-52).
+
+    name contains text/sms or type==2 → TEXTS; name contains call or type==1 →
+    CALLS; else NULL (row dropped downstream — "no misclassification").
+    """
+    name = F.lower(F.coalesce(event_name, F.lit("")))
+    return (
+        F.when(name.contains("text") | name.contains("sms"), F.lit("TEXTS"))
+        .when(name.contains("call"), F.lit("CALLS"))
+        .when(type_code == 2, F.lit("TEXTS"))
+        .when(type_code == 1, F.lit("CALLS"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def parse_created_at(raw: Column, received_at: Column) -> Column:
+    """P5 timestamp coercion (aloware.adapter.ts:24-33, fallback :87).
+
+    ISO accepted as-is; ``YYYY-MM-DD HH:mm:ss`` treated as UTC; invalid/missing
+    → ``receivedAt``.
+    """
+    iso = F.try_to_timestamp(raw)  # session tz is UTC → naive ISO == UTC
+    spaced = F.try_to_timestamp(
+        F.regexp_replace(raw, " ", "T"), F.lit("yyyy-MM-dd'T'HH:mm:ss")
+    )
+    return F.coalesce(iso, spaced, received_at)
+
+
+def effective_tz(tz: Column) -> Column:
+    """Invalid/missing tz → UTC (aloware.adapter.ts:19-21)."""
+    return F.when(tz.isin(*KNOWN_TIMEZONES), tz).otherwise(F.lit("UTC"))
+
+
+def business_date_key(event_ts_utc: Column, tz: Column) -> Column:
+    """P6 timezone-aware business date (aloware.adapter.ts:4-22).
+
+    Formats the UTC instant as yyyy-MM-dd in the per-row IANA tz.
+    ``from_utc_timestamp`` natively accepts a *column* tz — per-row timezones
+    without any UDF.
+    """
+    return F.date_format(
+        F.from_utc_timestamp(event_ts_utc, effective_tz(tz)), "yyyy-MM-dd"
+    )
+
+
+def agent_id(owner_id: Column, user_id: Column) -> Column:
+    """P7 agent identity: ``String(owner_id ?? user_id ?? "unknown")``
+    (aloware.adapter.ts:84)."""
+    return F.coalesce(
+        owner_id.cast("string"), user_id.cast("string"), F.lit("unknown")
+    )
+
+
+def event_id(source: Column, ext_id: Column, uuid_v4: Column, received_at: Column) -> Column:
+    """P8 deterministic event id: ``SOURCE:{id ?? uuid ?? epochMillis(receivedAt)}``
+    (aloware.adapter.ts:92-93)."""
+    ext = F.coalesce(
+        ext_id.cast("string"),
+        uuid_v4,
+        (F.unix_timestamp(received_at) * 1000).cast("string"),
+    )
+    return F.concat_ws(":", source, ext)
+
+
+def notes(event_name: Column, tz: Column, agent: Column) -> Column:
+    """P9 notes assembly (aloware.adapter.ts:95-99): join present parts with
+    ``;`` — ``concat_ws`` natively skips nulls."""
+    return F.concat_ws(
+        ";",
+        F.when(event_name.isNotNull(), F.concat(F.lit("event="), event_name)),
+        F.when(tz.isNotNull(), F.concat(F.lit("tz="), tz)),
+        F.when(agent == "unknown", F.lit("agent=unknown")),
+    )
+
+
+def normalize_webhooks(df: DataFrame) -> DataFrame:
+    """Full adapter pipeline: webhook-shaped DF → FactEvent rows.
+
+    One select chain = scan → project → filter, exactly the shape Catalyst
+    pushes into the Parquet scan. Mirrors alowareAdapter
+    (src/adapters/aloware.adapter.ts:54-118): outbound gate (:71-74), metric
+    gate (:76-81), then field derivations.
+    """
+    ts = parse_created_at(F.col("created_at_raw"), F.col("receivedAt"))
+    agent = agent_id(F.col("owner_id"), F.col("user_id"))
+    return (
+        df.filter(is_outbound(F.col("event_name"), F.col("direction")))
+        .withColumn("MetricID", infer_metric(F.col("event_name"), F.col("type_code")))
+        .filter(F.col("MetricID").isNotNull())
+        .select(
+            event_id(
+                F.col("source"), F.col("ext_id"), F.col("uuid_v4"), F.col("receivedAt")
+            ).alias("EventID"),
+            agent.alias("AgentID"),
+            business_date_key(ts, F.col("tz")).alias("FactDateKey"),
+            F.col("MetricID"),
+            notes(F.col("event_name"), F.col("tz"), agent).alias("Notes"),
+            ts.alias("EventTime"),  # kept for dedup windows / watermarks
+        )
+    )
+
+
+def to_physical_rows(fact: DataFrame) -> DataFrame:
+    """P12 write-time projection (post-factevent.service.ts:18-24): physical
+    column set, ``Notes`` null→''."""
+    return fact.select(
+        "EventID",
+        "AgentID",
+        "FactDateKey",
+        "MetricID",
+        F.coalesce(F.col("Notes"), F.lit("")).alias("Notes"),
+    )
+
+
+def hubspot_placeholder(df: DataFrame) -> DataFrame:
+    """P11 HubSpot adapter stub (src/adapters/hubspot.adapter.ts:3-30): one
+    placeholder EMAILS row per envelope; dateKey = iso.slice(0,10)."""
+    return df.select(
+        F.concat_ws(":", F.lit("HUBSPOT"), F.col("ext_id").cast("string")).alias(
+            "EventID"
+        ),
+        F.lit("unknown").alias("AgentID"),
+        F.substring(F.date_format(F.col("receivedAt"), "yyyy-MM-dd'T'HH:mm:ss"), 1, 10).alias(
+            "FactDateKey"
+        ),
+        F.lit("EMAILS").alias("MetricID"),
+        F.lit("hubspot placeholder").alias("Notes"),
+    )

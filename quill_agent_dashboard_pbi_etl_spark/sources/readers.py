@@ -1,0 +1,104 @@
+"""Batch source connectors (SURVEY.md §2.1).
+
+S1/S2 (HTTP / Lambda webhook entry) collapse to a streaming JSON landing-dir
+source in Spark — see ``streaming/pipeline.py``. This module covers the batch
+readers: driver parquet tables, the S3 file-replay source, and the S4 roster
+snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ROSTER_REPORT_SCHEMA
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    The driver writes `events.ts` as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it lands as int64 nanoseconds and
+    is truncated here to a µs TimestampType (identical to DuckDB's ns→µs
+    truncation, so oracle hashes agree).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql queries."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def replay_json_dir(
+    spark: SparkSession,
+    directory: str,
+    pattern: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """S3 file-replay source (tools/harness/run-aloware.ts:35-48,61-69).
+
+    Recursive listing, substring pattern filter on the file name, ``*.json``
+    only, lexicographic order, first N files — expressed set-oriented: one
+    distributed read + ``input_file_name`` predicates instead of the
+    reference's driver-side loop.
+    """
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .text(directory)
+        .withColumn("file_name", F.input_file_name())
+    )
+    if pattern:
+        df = df.filter(F.col("file_name").contains(pattern))
+    if limit is not None:
+        # Reference semantics: sort file names, take first N files (not rows).
+        names = [
+            r["file_name"]
+            for r in sorted(df.select("file_name").distinct().collect())[:limit]
+        ]
+        df = df.filter(F.col("file_name").isin(names))
+    return df.orderBy("file_name")
+
+
+def load_roster_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """S4 roster source (dimagent.sync.service.ts:35-46).
+
+    Reads a landed ring-group availability report JSON and projects
+    ``testResults[].{id,name,email}`` into DimAgent rows
+    (dimagent.sync.service.ts:39-45): null name/email → "", tz "" ,
+    ActiveFlag true. The result is tiny (one ring group) — callers broadcast.
+    """
+    report = spark.read.schema(ROSTER_REPORT_SCHEMA).json(path)
+    member = F.explode(F.coalesce(F.col("testResults"), F.array())).alias("m")
+    return report.select(member).select(
+        F.col("m.id").cast("string").alias("AgentID"),
+        F.coalesce(F.col("m.name"), F.lit("")).alias("AgentName"),
+        F.coalesce(F.col("m.email"), F.lit("")).alias("Email"),
+        F.lit("").alias("TimezoneIANA"),
+        F.lit(True).alias("ActiveFlag"),
+    )
