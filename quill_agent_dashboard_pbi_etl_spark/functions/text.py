@@ -1,0 +1,115 @@
+"""Text-analysis expressions for the documents table (north-star ops):
+language ID, quality scoring, token counting, fingerprinting.
+
+All pure built-in column expressions (codegen'd, shuffle-free per row) so each
+op keeps a DuckDB oracle and costs nothing extra at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalize_text
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic.
+# (Real pipelines plug fastText/CLD3 here via a Pandas UDF; the heuristic is
+# the deterministic, dependency-free baseline.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "mit", "ein"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "los", "las", "y", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "de", "que", "est", "une"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "you3", "he2", "ren2"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty text → 0."""
+    t = normalize_text(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " "))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count regex word pieces + standalone punctuation.
+
+    ``[A-Za-z0-9]{1,4}`` chunks approximate subword units (a BPE vocabulary's
+    mean piece length ≈ 3-4 chars); punctuation tokenizes alone, whitespace
+    vanishes — a cheap, deterministic stand-in for a real tokenizer count.
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"([a-z0-9]{1,4}|[^\sa-z0-9])"), 1
+    )
+    return F.size(pieces).cast("long")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Non-distinct count of tokens that belong to a marker set."""
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(marker_arr, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker hits, alphabetical tie-break,
+    'und' (undetermined) when nothing scores."""
+    scores = lang_scores(text)
+    # greatest(...) then first lang (alphabetical) achieving it.
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, F.round(punct / n, 6)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    n = token_count(text)
+    return F.when(
+        n > 0, F.round(marker_hits(text, STOPWORDS) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    n = token_count(text)
+    total = F.aggregate(
+        tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation noise,
+    healthy stopword density, plausible word lengths — the standard cheap
+    pre-filter before an LLM-data pipeline pays for model-based scoring."""
+    len_score = F.least(token_count(text) / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    stop = stopword_ratio(text)
+    stop_score = F.when((stop >= 0.05) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    wl = mean_token_len(text)
+    wl_score = F.when((wl >= 2.5) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        len_score * 0.4 + punct_penalty * 0.2 + stop_score * 0.2 + wl_score * 0.2, 6
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct token set
+    (the classic "fingerprint" key for clustering shared-vocabulary docs;
+    md5 keeps it portable to the SQL oracle)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.md5(canon)

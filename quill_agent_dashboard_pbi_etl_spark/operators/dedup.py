@@ -1,0 +1,311 @@
+"""Deduplication operators (SURVEY.md §2.4 D1-D3 + north-star near-dup ops).
+
+Reference parity:
+  D1 within-batch keep-FIRST dedup   (src/ingest/idempotency.ts:7-16)
+  D2 dedup-key derivation            (src/ingest/idempotency.ts:3-5)
+  D3 cross-request ledger gate       (src/workflows/ingest/orchestrator.ts:71-78,
+                                      src/integrations/idempotency/ledger.repo.ts:5-35)
+
+North-star extensions (BASELINE.json): exact hash dedup, MinHash+LSH,
+n-gram Jaccard, SimHash — all shuffle-conscious: candidate generation is
+always a key-equality join (band bucket / shingle), never a cross join, so
+the plan scales linearly with data volume instead of quadratically.
+
+Portability note: near-dup ops hash with ``md5`` (identical output in Spark
+and DuckDB) so every operator keeps a SQL oracle. ``xxhash64`` would be
+faster JVM-side but engine-specific; swap via ``hash_expr`` when running
+without the oracle harness.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_key(source: Column, ext_event_id: Column) -> Column:
+    """D2: ``"{source}:{eventId}"`` (ingest/idempotency.ts:3-5)."""
+    return F.concat_ws(":", source, ext_event_id)
+
+
+def keep_first(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """D1 within-batch dedup preserving the FIRST occurrence.
+
+    ``dropDuplicates`` keeps an *arbitrary* row; the reference's seen-set loop
+    keeps the first-in-order one (idempotency.ts:7-16), so this is a
+    row_number window over an explicit arrival order. One shuffle on ``keys``;
+    at scale the window and any downstream groupBy on the same keys share that
+    shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ledger_gate(
+    events: DataFrame,
+    ledger: DataFrame,
+    key_col: str = "dedup_key",
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """D3 cross-request dedup: drop events whose key is in the live ledger.
+
+    The reference does one DynamoDB conditional-write RPC per event
+    (orchestrator.ts:73-78 — O(n) sequential round-trips); here it is a single
+    distributed left-anti join against the TTL-pruned ledger. Expired entries
+    (``expiresAt < now``) do not block (DynamoDB TTL semantics,
+    docs/dynamodb_schema.md:29-32).
+    """
+    if now_epoch is None:
+        now_epoch = int(time.time())
+    live = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
+        F.col("pk").alias(key_col)
+    )
+    return events.join(live, on=key_col, how="left_anti")
+
+
+def ledger_new_entries(
+    survivors: DataFrame,
+    seen_at: Column,
+    key_col: str = "dedup_key",
+    ttl_days: int = 14,
+) -> DataFrame:
+    """K4 ledger append rows for events that passed the gate:
+    ``(pk, seenAt, expiresAt=now+ttl)`` (ledger.repo.ts:5-35). Caller appends
+    to the ledger table (single-writer; Delta MERGE is the concurrent answer).
+    """
+    return survivors.select(
+        F.col(key_col).alias("pk"),
+        seen_at.alias("seenAt"),
+        (F.unix_timestamp(seen_at) + ttl_days * 86400).alias("expiresAt"),
+    ).dropDuplicates(["pk"])
+
+
+# --------------------------------------------------------------------------- #
+# North-star document dedup
+# --------------------------------------------------------------------------- #
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact/near dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content hash: keep the lowest-id doc per md5(normalized
+    text). Hash-groupBy — one shuffle on a high-cardinality uniform key, the
+    cheapest possible dedup at 100 TB (no wide rows move: only (hash, id))."""
+    hashed = docs.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    )
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "content_hash")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from normalized text.
+
+    Built-ins only: split → sliding window via transform over index sequence.
+    """
+    toks = F.split(normalize_text(col), " ")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signature_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of md5(i || shingle).
+
+    Exploded-shingle groupBy (shuffle keyed by doc) rather than per-row array
+    loops, so skewed doc lengths spread across the cluster. md5-hex min is a
+    total order identical in any engine — portable to the SQL oracle.
+    Returns (id, sig_0..sig_{H-1}).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-dup pairs (a < b) that collide in
+    ≥1 band. rows-per-band = num_hashes/bands.
+
+    Scale shape: signatures (narrow) → explode to `bands` rows → shuffle on
+    (band, band_key) → per-bucket self-pairing. No cross join anywhere; bucket
+    sizes are bounded by collision probability, and a hot bucket (boilerplate
+    docs) is the classic skew case AQE's skew-join splitting handles.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_df(docs, text_col, id_col, num_hashes, shingle_n)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionAll(br)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    inverted-index self-join on shingle (candidate generation) → per-pair
+    intersection counts → |A∪B| = |A|+|B|−|A∩B|. Returns
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded to 6 dp for
+    cross-engine hash stability.
+
+    Scale: the only quadratic danger is a stop-shingle appearing in most docs;
+    production config should drop shingles with document frequency above a cap
+    (same trick as stop-word removal). Kept exact here for oracle parity.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    pairs = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            on=[
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({id_col: "doc_a", "set_size": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "set_size": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints: sign-sum of per-token hash bits.
+
+    Token stream → per-(doc, bit) weighted votes → assemble the fingerprint as
+    a bigint. Pure built-ins (explode + bitwise ops + groupBy); near-dup pairs
+    are then Hamming-distance filters over the fingerprint, typically bucketed
+    by fingerprint prefix at scale.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = toks.select(
+        F.col(id_col),
+        *[
+            F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 8, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-generated by
+    fingerprint prefix buckets (docs differing only in low bits still collide
+    on the high-bit prefix with probability ≈ 1 − max_hamming/bits)."""
+    bucketed = fps.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,197 @@
+"""Embedding similarity search (north-star ops, BASELINE.json).
+
+Brute-force cosine top-k as the exact baseline, an IVF-bucketed variant as the
+scale path. All vector math stays JVM-side via higher-order functions
+(``zip_with`` + ``aggregate``) over ``array<float>`` columns cast to double —
+no Python in the hot loop; a Pandas-UDF path exists for BLAS-heavy workloads
+(see ``functions/vectors.py``).
+
+Scale shape: queries are broadcast (top-k against Q query vectors is a
+broadcast nested-loop over the corpus — linear scan, embarrassingly parallel);
+IVF replaces the full scan with a centroid-bucket equi-join, trading recall
+for a ~n_clusters× scan reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] via zip_with + aggregate (JVM codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus vectors
+    (self-matches excluded). Returns (query_id, neighbor_id, rank, cosine_sim).
+
+    The query side is broadcast; ranking uses the *rounded* similarity with an
+    id tie-break so results are deterministic and engine-portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (max cosine, centroid-id tie-break). Centroids are broadcast-sized."""
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    cents = centroids.select(
+        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = v.crossJoin(broadcast(cents)).withColumn(
+        "sim", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "vec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own IVF cell.
+
+    The corpus↔query match becomes an equi-join on ``centroid_id`` — at scale
+    this is the difference between scanning 100 TB per query batch and
+    scanning one cell. Recall loss is the standard IVF nprobe=1 trade; raise
+    recall by unioning more probe cells.
+    """
+    c_assigned = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    q_assigned = assign_ivf_cells(queries, centroids, id_col, vec_col)
+    scored = (
+        c_assigned.alias("c")
+        .join(
+            broadcast(q_assigned.alias("q")),
+            on=[
+                F.col("c.centroid_id") == F.col("q.centroid_id"),
+                F.col(f"c.{id_col}") != F.col(f"q.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(cosine(F.col("q.vec"), F.col("c.vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def near_dup_by_cosine(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Sign-bit sketch of ``bucket_bits`` fixed pseudo-random hyperplanes (seeded
+    from the dimension index — deterministic, no RNG state) buckets the
+    corpus; only same-bucket pairs are scored. Pairs (a<b) with cosine ≥
+    threshold survive. High-cosine pairs agree on sign bits with high
+    probability, so recall stays high while candidate counts drop ~2^bits×.
+    """
+    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    # Deterministic "hyperplanes": alternating-sign masks derived from index
+    # arithmetic — portable and seedless.
+    bucket = None
+    for b in range(bucket_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.sequence(F.lit(0), F.size(F.col("vec")) - 1),
+                lambda x, i: x
+                * F.when((i + b) % (b + 2) < (b + 2) / 2.0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    bucketed = v.withColumn("bucket", bucket)
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .withColumn("cosine_sim", F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            "cosine_sim",
+        )
+    )

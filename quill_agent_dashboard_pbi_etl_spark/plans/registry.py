@@ -1,0 +1,697 @@
+"""Registry of engine queries + DuckDB oracles (driver contract).
+
+Each entry: name → callable(spark, sf_dir) -> DataFrame, plus a matching ANSI
+SQL string in ``ORACLES`` that DuckDB runs over the same parquet views. Column
+names/aliases match exactly; float outputs are rounded (or routed through
+DECIMAL) so order-insensitive value-hashes agree across engines.
+
+Reference-parity queries map SURVEY.md §2 operators onto the driver's
+synthetic tables via ``sources/webhook_mapping.py``; TPC-H-shaped queries
+exercise the same join/agg machinery at bench scale; extension queries cover
+the north-star LLM-data ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import text as T
+from ..functions.adapter import normalize_webhooks
+from ..operators import dedup, gates, rollups, similarity, star
+from ..sources.readers import load_table
+from ..sources.webhook_mapping import (
+    NORMALIZED_CTE,
+    NOW_ANCHOR,
+    NOW_ANCHOR_DATE,
+    events_as_webhooks,
+)
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def normalized_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet → webhook shape → adapter pipeline (P1-P12)."""
+    return normalize_webhooks(events_as_webhooks(load_table(spark, sf_dir, "events")))
+
+
+# =========================================================================== #
+# Reference parity — ingest pipeline
+# =========================================================================== #
+
+@register(
+    "adapter_normalize",
+    f"WITH {NORMALIZED_CTE} SELECT EventID, AgentID, FactDateKey, MetricID, Notes FROM normalized",
+)
+def q_adapter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P12: full adapter projection (outbound gate, metric classifier, tz
+    business date, deterministic ids, notes)."""
+    return normalized_fact(spark, sf_dir).drop("EventTime")
+
+
+@register(
+    "within_batch_dedup",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT EventID, AgentID, FactDateKey, MetricID FROM (
+  SELECT EventID, AgentID, FactDateKey, MetricID,
+         row_number() OVER (PARTITION BY AgentID, FactDateKey, MetricID
+                            ORDER BY EventTime, EventID) AS rn
+  FROM normalized
+) WHERE rn = 1
+""",
+)
+def q_within_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 keep-FIRST dedup (idempotency.ts:7-16) on the (agent, date, metric)
+    key, arrival order = (EventTime, EventID)."""
+    fact = normalized_fact(spark, sf_dir)
+    kept = dedup.keep_first(
+        fact,
+        ["AgentID", "FactDateKey", "MetricID"],
+        [F.col("EventTime"), F.col("EventID")],
+    )
+    return kept.select("EventID", "AgentID", "FactDateKey", "MetricID")
+
+
+_LEDGER_CTE = f"""
+ledger AS (
+  SELECT EventID AS pk,
+         EventTime AS seenAt,
+         CAST(epoch(EventTime) AS BIGINT) + 14*86400 AS expiresAt
+  FROM normalized
+  WHERE EventTime < TIMESTAMP '2024-01-10 00:00:00'
+)
+""".strip()
+
+
+@register(
+    "ledger_gate",
+    f"""
+WITH {NORMALIZED_CTE}, {_LEDGER_CTE}
+SELECT n.EventID, n.AgentID, n.FactDateKey, n.MetricID
+FROM normalized n
+WHERE n.EventID NOT IN (
+  SELECT pk FROM ledger
+  WHERE expiresAt >= CAST(epoch(TIMESTAMP '{NOW_ANCHOR}') AS BIGINT)
+)
+""",
+)
+def q_ledger_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+D3: cross-request dedup as a TTL-pruned left-anti join. The ledger
+    is a synthetic prior run: every event seen before 2024-01-10; entries seen
+    before 2024-01-06 have expired at the 2024-01-20 anchor (14-day TTL) so
+    they no longer block."""
+    import datetime as dt
+
+    fact = normalized_fact(spark, sf_dir).withColumnRenamed("EventID", "dedup_key")
+    ledger = (
+        fact.filter(F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        .select(
+            F.col("dedup_key").alias("pk"),
+            F.col("EventTime").alias("seenAt"),
+            (F.unix_timestamp("EventTime") + 14 * 86400).alias("expiresAt"),
+        )
+    )
+    now_epoch = int(
+        dt.datetime.strptime(NOW_ANCHOR, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    survivors = dedup.ledger_gate(fact, ledger, key_col="dedup_key", now_epoch=now_epoch)
+    return survivors.select(
+        F.col("dedup_key").alias("EventID"), "AgentID", "FactDateKey", "MetricID"
+    )
+
+
+@register(
+    "roster_gate",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT EventID, AgentID, FactDateKey, MetricID
+FROM normalized
+WHERE AgentID IN (
+  SELECT DISTINCT AgentID FROM normalized
+  WHERE try_cast(AgentID AS BIGINT) IS NOT NULL AND try_cast(AgentID AS BIGINT) % 3 != 0
+)
+""",
+)
+def q_roster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 roster allow-list semi-join (orchestrator.ts:45-69). The synthetic
+    ring group contains agents whose numeric id is not divisible by 3
+    ('unknown' is off-roster)."""
+    fact = normalized_fact(spark, sf_dir)
+    roster = (
+        fact.select("AgentID")
+        .distinct()
+        .withColumn("num", F.expr("try_cast(AgentID AS BIGINT)"))
+        .filter(F.col("num").isNotNull() & (F.col("num") % 3 != 0))
+        .select("AgentID")
+    )
+    return gates.roster_gate(fact, roster).select(
+        "EventID", "AgentID", "FactDateKey", "MetricID"
+    )
+
+
+@register(
+    "run_counters",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT (SELECT count(*) FROM normalized) AS processed,
+       (SELECT count(*) FROM normalized
+        WHERE AgentID IN (SELECT DISTINCT AgentID FROM normalized
+                          WHERE try_cast(AgentID AS BIGINT) IS NOT NULL
+                            AND try_cast(AgentID AS BIGINT) % 3 != 0)) AS posted
+""",
+)
+def q_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 run counters {processed, posted} (orchestrator.ts:87-89): processed
+    = adapter survivors, posted = after the roster gate."""
+    fact = normalized_fact(spark, sf_dir)
+    roster = (
+        fact.select("AgentID")
+        .distinct()
+        .withColumn("num", F.expr("try_cast(AgentID AS BIGINT)"))
+        .filter(F.col("num").isNotNull() & (F.col("num") % 3 != 0))
+        .select("AgentID")
+    )
+    posted = gates.roster_gate(fact, roster)
+    return rollups.run_counters(fact, posted)
+
+
+@register(
+    "dim_hints",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT 'agent' AS hint_type, AgentID AS hint_value FROM normalized GROUP BY AgentID
+UNION ALL
+SELECT 'date', FactDateKey FROM normalized GROUP BY FactDateKey
+UNION ALL
+SELECT 'metric', MetricID FROM normalized GROUP BY MetricID
+""",
+)
+def q_dim_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dim-hints rebuild (orchestrator.ts:80-85) as (hint_type, hint_value)
+    rows — the distinct FK values the surviving batch references."""
+    fact = normalized_fact(spark, sf_dir)
+    out = None
+    for hint_type, col in (("agent", "AgentID"), ("date", "FactDateKey"), ("metric", "MetricID")):
+        part = fact.select(
+            F.lit(hint_type).alias("hint_type"), F.col(col).alias("hint_value")
+        ).distinct()
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+@register(
+    "hubspot_stub",
+    """
+SELECT 'HUBSPOT:' || CAST(event_id AS VARCHAR) AS EventID,
+       'unknown' AS AgentID,
+       strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%d') AS FactDateKey,
+       'EMAILS' AS MetricID,
+       'hubspot placeholder' AS Notes
+FROM events
+""",
+)
+def q_hubspot_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 HubSpot adapter stub (hubspot.adapter.ts:3-30): one placeholder
+    EMAILS row per envelope, dateKey = iso.slice(0,10) of receivedAt."""
+    from ..functions.adapter import hubspot_placeholder
+
+    env = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("ext_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("receivedAt"),
+    )
+    return hubspot_placeholder(env)
+
+
+# =========================================================================== #
+# Reference parity — analytic layer (the "DAX" contract)
+# =========================================================================== #
+
+_DIM_METRIC_SQL = """
+dim_metric AS (
+  SELECT * FROM (VALUES
+    ('CALLS', 'Outbound Calls', 50, 0.85),
+    ('TEXTS', 'Outbound Texts', 45, 0.85),
+    ('EMAILS', 'Emails Sent', 20, 0.85),
+    ('CASES', 'Cases Created', 5, 0.85)
+  ) AS t(MetricID, MetricName, DefaultGoal, DefaultYellowFloorPct)
+)
+""".strip()
+
+
+@register(
+    "daily_rollup",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT AgentID, FactDateKey, MetricID, count(*) AS EventCount
+FROM normalized GROUP BY AgentID, FactDateKey, MetricID
+""",
+)
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 FactDailyMetric: events per (agent, local date, metric) — the core
+    dashboard rollup the reference delegates to DAX."""
+    return rollups.daily_rollup(normalized_fact(spark, sf_dir))
+
+
+@register(
+    "goal_attainment",
+    f"""
+WITH {NORMALIZED_CTE}, {_DIM_METRIC_SQL},
+daily AS (
+  SELECT AgentID, FactDateKey, MetricID, count(*) AS EventCount
+  FROM normalized GROUP BY AgentID, FactDateKey, MetricID
+)
+SELECT d.AgentID, d.FactDateKey, d.MetricID, d.EventCount,
+       CAST(m.DefaultGoal AS BIGINT) AS DefaultGoal,
+       round(d.EventCount / CAST(m.DefaultGoal AS DOUBLE), 6) AS GoalPct
+FROM daily d JOIN dim_metric m USING (MetricID)
+""",
+)
+def q_goal_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 goal attainment: EventCount / DimMetric.DefaultGoal
+    (schema doc:158-161)."""
+    daily = rollups.daily_rollup(normalized_fact(spark, sf_dir))
+    return rollups.goal_attainment(daily, star.build_dim_metric(spark))
+
+
+@register(
+    "pace_color",
+    f"""
+WITH {NORMALIZED_CTE}, {_DIM_METRIC_SQL},
+daily AS (
+  SELECT AgentID, FactDateKey, MetricID, count(*) AS EventCount
+  FROM normalized GROUP BY AgentID, FactDateKey, MetricID
+),
+att AS (
+  SELECT d.*, round(d.EventCount / CAST(m.DefaultGoal AS DOUBLE), 6) AS GoalPct,
+         m.DefaultYellowFloorPct
+  FROM daily d JOIN dim_metric m USING (MetricID)
+),
+paced AS (
+  SELECT *,
+    round(least(greatest(
+      (CAST(epoch(TIMESTAMP '{NOW_ANCHOR}') AS BIGINT)
+       - CAST(epoch(strptime(FactDateKey, '%Y-%m-%d') + INTERVAL 9 HOUR) AS BIGINT))
+      / (8*3600.0), 0.0), 1.0), 6) AS ShiftElapsedPct
+  FROM att
+)
+SELECT AgentID, FactDateKey, MetricID, EventCount, GoalPct, ShiftElapsedPct,
+  CASE WHEN GoalPct >= ShiftElapsedPct THEN 'GREEN'
+       WHEN GoalPct >= ShiftElapsedPct * DefaultYellowFloorPct THEN 'YELLOW'
+       ELSE 'RED' END AS Color
+FROM paced
+""",
+)
+def q_pace_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6: shift-elapsed pace vs goal attainment, classified GREEN/YELLOW/
+    RED (schema doc:152-161). DimShift rows (09:00-17:00 local, composite
+    (AgentID, LocalDate) key) are joined broadcast; 'now' is the fixed
+    2024-01-20 12:00 anchor so the query is deterministic."""
+    fact = normalized_fact(spark, sf_dir)
+    daily = rollups.daily_rollup(fact)
+    dim_metric = star.build_dim_metric(spark)
+    att = daily.join(broadcast(dim_metric), "MetricID").select(
+        "AgentID",
+        "FactDateKey",
+        "MetricID",
+        "EventCount",
+        F.round(F.col("EventCount") / F.col("DefaultGoal"), 6).alias("GoalPct"),
+        "DefaultYellowFloorPct",
+    )
+    dates = rollups.build_dim_date(spark, "2023-12-01", "2024-02-29")
+    agents = fact.select("AgentID").distinct()
+    dim_shift = star.build_dim_shift(agents, dates, start_hour=9, shift_hours=8)
+    now_local = F.to_timestamp(F.lit(NOW_ANCHOR))
+    joined = att.alias("a").join(
+        broadcast(dim_shift.alias("s")),
+        on=[
+            F.col("a.AgentID") == F.col("s.AgentID"),
+            F.col("a.FactDateKey") == F.date_format(F.col("s.LocalDate"), "yyyy-MM-dd"),
+        ],
+        how="left",
+    )
+    elapsed = rollups.shift_elapsed_pct(
+        now_local, F.col("s.ShiftStartLocal"), F.col("s.ShiftEndLocal")
+    )
+    return joined.select(
+        F.col("a.AgentID").alias("AgentID"),
+        "FactDateKey",
+        "MetricID",
+        "EventCount",
+        "GoalPct",
+        elapsed.alias("ShiftElapsedPct"),
+        rollups.color_class(
+            F.col("GoalPct"), elapsed, F.col("DefaultYellowFloorPct")
+        ).alias("Color"),
+    )
+
+
+@register(
+    "dim_date_seed",
+    """
+SELECT strftime(d, '%Y-%m-%d') AS DateKey,
+       CAST(year(d) AS BIGINT) AS Year,
+       CAST(month(d) AS BIGINT) AS Month,
+       CAST(day(d) AS BIGINT) AS Day,
+       monthname(d) AS MonthName,
+       CAST(quarter(d) AS BIGINT) AS Quarter,
+       CAST(isodow(d) AS BIGINT) AS DayOfWeek,
+       dayname(d) AS DayName,
+       isodow(d) >= 6 AS IsWeekend
+FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY))::DATE AS d)
+""",
+)
+def q_dim_date_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 calendar generation (schema doc:92-106): one row per 2024 day,
+    DayOfWeek 1=Mon..7=Sun, distributed sequence+explode."""
+    return rollups.build_dim_date(spark, "2024-01-01", "2024-12-31").drop("Date")
+
+
+@register(
+    "time_filter_this_week",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized
+WHERE strptime(FactDateKey, '%Y-%m-%d')::DATE
+      BETWEEN DATE '{NOW_ANCHOR_DATE}' - CAST(isodow(DATE '{NOW_ANCHOR_DATE}') - 1 AS INTEGER)
+          AND DATE '{NOW_ANCHOR_DATE}'
+GROUP BY MetricID
+""",
+)
+def q_time_filter_this_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 'This Week' (ISO Mon..anchor) relative filter + metric rollup."""
+    fact = normalized_fact(spark, sf_dir)
+    anchor = F.to_date(F.lit(NOW_ANCHOR_DATE))
+    return (
+        fact.filter(rollups.time_filter(F.col("FactDateKey"), "this_week", anchor))
+        .groupBy("MetricID")
+        .agg(F.count("*").alias("EventCount"))
+    )
+
+
+@register(
+    "time_filter_last_month",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized
+WHERE strptime(FactDateKey, '%Y-%m-%d')::DATE >= date_trunc('month', DATE '{NOW_ANCHOR_DATE}') - INTERVAL 1 MONTH
+  AND strptime(FactDateKey, '%Y-%m-%d')::DATE < date_trunc('month', DATE '{NOW_ANCHOR_DATE}')
+GROUP BY MetricID
+""",
+)
+def q_time_filter_last_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 'Last Month' filter — catches the tz-shifted 2023-12-31 business
+    dates (per-row timezone semantics feeding the filter layer)."""
+    fact = normalized_fact(spark, sf_dir)
+    anchor = F.to_date(F.lit(NOW_ANCHOR_DATE))
+    return (
+        fact.filter(rollups.time_filter(F.col("FactDateKey"), "last_month", anchor))
+        .groupBy("MetricID")
+        .agg(F.count("*").alias("EventCount"))
+    )
+
+
+@register(
+    "star_join_enriched",
+    f"""
+WITH {NORMALIZED_CTE}, {_DIM_METRIC_SQL}
+SELECT n.EventID, n.AgentID, n.FactDateKey,
+       m.MetricName, CAST(m.DefaultGoal AS BIGINT) AS DefaultGoal,
+       CAST(year(strptime(n.FactDateKey, '%Y-%m-%d')) AS BIGINT) AS Year,
+       CAST(month(strptime(n.FactDateKey, '%Y-%m-%d')) AS BIGINT) AS Month,
+       CAST(isodow(strptime(n.FactDateKey, '%Y-%m-%d')) AS BIGINT) AS DayOfWeek,
+       isodow(strptime(n.FactDateKey, '%Y-%m-%d')) >= 6 AS IsWeekend
+FROM normalized n JOIN dim_metric m USING (MetricID)
+""",
+)
+def q_star_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 star joins: fact → DimMetric + DimDate attributes, both broadcast
+    (schema doc:27-35)."""
+    fact = normalized_fact(spark, sf_dir)
+    dim_metric = star.build_dim_metric(spark)
+    dim_date = rollups.build_dim_date(spark, "2023-12-01", "2024-02-29")
+    joined = star.star_join(fact, dim_metric=dim_metric, dim_date=dim_date)
+    return joined.select(
+        "EventID",
+        "AgentID",
+        "FactDateKey",
+        "MetricName",
+        "DefaultGoal",
+        "Year",
+        "Month",
+        "DayOfWeek",
+        "IsWeekend",
+    )
+
+
+@register(
+    "ensure_dims_missing_dates",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT DISTINCT FactDateKey AS DateKey FROM normalized
+WHERE FactDateKey NOT IN (
+  SELECT strftime(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)), '%Y-%m-%d')
+)
+""",
+)
+def q_ensure_dims_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 ensure-dims: date keys referenced by the batch but absent from the
+    seeded 2024 calendar (the tz-shifted 2023-12-31 rows) — the rows an
+    upsert-if-missing would append (ensure-dims.service.ts spec)."""
+    fact = normalized_fact(spark, sf_dir)
+    dim_date = rollups.build_dim_date(spark, "2024-01-01", "2024-12-31")
+    missing = star.ensure_dims(
+        dim_date.select(F.col("DateKey")),
+        fact.select(F.col("FactDateKey").alias("DateKey")),
+        "DateKey",
+    )
+    return missing
+
+
+@register(
+    "dim_agent_sync",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS AgentID,
+       c_name AS AgentName,
+       lower(replace(c_name, ' ', '.')) || '@example.com' AS Email,
+       '' AS TimezoneIANA,
+       TRUE AS ActiveFlag
+FROM customer
+""",
+)
+def q_dim_agent_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+C1: roster snapshot → DimAgent projection (dimagent.sync.service.ts:
+    35-46, overwrite-sync semantics tested in tests/test_star.py)."""
+    roster = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("AgentID"),
+        F.col("c_name").alias("AgentName"),
+        F.concat(
+            F.lower(F.regexp_replace("c_name", " ", ".")), F.lit("@example.com")
+        ).alias("Email"),
+        F.lit("").alias("TimezoneIANA"),
+        F.lit(True).alias("ActiveFlag"),
+    )
+    df, _result = star.sync_dim_agent(roster)
+    return df
+
+
+# =========================================================================== #
+# TPC-H-shaped analytics (bench workload; same agg/join machinery at scale)
+# =========================================================================== #
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy hash aggregate with
+    map-side partial aggregation. Money math routed through DECIMAL so sums
+    are exact and engine-portable, cast back to DOUBLE at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: selective dim filter → fact joins →
+    top-N by aggregated revenue. Customer side is broadcast; lineitem never
+    shuffles for the join (only for the final groupBy)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            broadcast(o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "region_revenue",
+    """
+SELECT r.r_name AS region,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS lineitem_count
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name
+""",
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake rollup: region→nation→customer→orders→
+    lineitem, dims broadcast down the chain."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust_region = (
+        c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    ord_region = o.join(broadcast(cust_region), o["o_custkey"] == F.col("c_custkey")).select(
+        "o_orderkey", "r_name"
+    )
+    return (
+        li.join(broadcast(ord_region), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("lineitem_count"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+SELECT n_name, c_custkey, total_spend, rank FROM (
+  SELECT n.n_name, c.c_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         CAST(row_number() OVER (
+           PARTITION BY n.n_name
+           ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC, c.c_custkey
+         ) AS BIGINT) AS rank
+  FROM nation n
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY n.n_name, c.c_custkey
+) WHERE rank <= 3
+""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function leaderboard: top-3 customers by order value per nation
+    (rank over partitioned aggregate — extension surface per SURVEY §2.5)."""
+    from pyspark.sql import Window
+
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "total_spend", "rank")
+    )
