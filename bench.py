@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (no collect skew,
+no count() shortcuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
+from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
+from quill_agent_dashboard_pbi_etl_spark.session import get_spark
+
+# Representative spread: ingest pipeline, dedup/gates, analytics, TPC-H-shaped
+# joins/aggs, and the north-star extension ops.
+HEADLINE = [
+    "adapter_normalize",
+    "within_batch_dedup",
+    "ledger_gate",
+    "roster_gate",
+    "daily_rollup",
+    "pace_color",
+    "star_join_enriched",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "region_revenue",
+    "top_customers_per_nation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "quality_scores",
+    "lang_id",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup costs.
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

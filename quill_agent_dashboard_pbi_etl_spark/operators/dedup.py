@@ -264,7 +264,7 @@ def simhash_df(
     votes = toks.select(
         F.col(id_col),
         *[
-            F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, F.lit(1))
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.lit(1))
             .otherwise(F.lit(-1))
             .alias(f"b{i}")
             for i in range(bits)
@@ -275,9 +275,9 @@ def simhash_df(
     )
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return summed.select(F.col(id_col), fp.alias("simhash"))
 

@@ -175,7 +175,9 @@ def near_dup_by_cosine(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bit = F.when(proj >= 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long"))
+        bit = F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
         bucket = bit if bucket is None else bucket.bitwiseOR(bit)
     bucketed = v.withColumn("bucket", bucket)
     l, r = bucketed.alias("l"), bucketed.alias("r")

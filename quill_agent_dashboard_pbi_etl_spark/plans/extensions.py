@@ -1,0 +1,316 @@
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup, similarity
+search, text analysis over the documents/embeddings tables.
+
+Registered into the same QUERIES/ORACLES dicts as the parity queries.
+Near-dup hashing uses md5 (portable) so even MinHash keeps a SQL oracle;
+SimHash/IVF variants use engine-native hashes and register rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup, similarity
+from ..sources.readers import load_table
+from .registry import register
+
+# Normalized-text SQL fragment (mirror of operators.dedup.normalize_text).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# 3-gram shingle list over normalized tokens (mirror of operators.dedup.shingles).
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(greatest(len(toks) - 2, 0)),
+           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         ))) AS shingle
+  FROM (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents)
+)
+""".strip()
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT md5({_NORM}) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY content_hash
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per md5(normalized text) — the cheapest
+    100 TB dedup pass (hash-groupBy, only (hash,id) tuples shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("content_hash", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
+    self-join — candidate generation is a shingle equi-join, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('seed{i}|' || shingle)) AS sig_{i}" for i in range(16))}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  {' UNION ALL '.join(
+      "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sigs"
+      % (b, " || '|' || ".join(f"sig_{b*4+r}" for r in range(4)))
+      for b in range(4)
+  )}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM buckets l
+JOIN buckets r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes)+LSH(4 bands) candidate near-dup pairs. md5-hex min
+    per seeded hash keeps the signature identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+@register("simhash_near_dup")  # xxhash64-based — engine-native, rows-only check
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, Hamming ≤ 8, prefix-bucketed candidate
+    generation. Uses JVM xxhash64 (no SQL oracle — rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_df(docs)
+    return dedup.simhash_near_pairs(fps, max_hamming=8)
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       CAST(CASE WHEN {_NORM} = '' THEN 0 ELSE len(str_split({_NORM}, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '([a-z0-9]{{1,4}}|[^\\sa-z0-9])')) AS BIGINT) AS n_bpe_ish
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex word pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return (
+        f"len(list_filter(str_split({_NORM}, ' '), t -> list_contains({arr}, t)))"
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH stats AS (
+  SELECT doc_id,
+    CAST(CASE WHEN {_NORM} = '' THEN 0 ELSE len(str_split({_NORM}, ' ')) END AS BIGINT) AS n_tok,
+    length(text) AS n_chars_raw,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+    {_marker_hits_sql(T.STOPWORDS)} AS n_stop,
+    list_sum(list_transform(str_split({_NORM}, ' '), t -> length(t))) AS tok_len_sum
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN n_chars_raw > 0 THEN round(n_punct / CAST(n_chars_raw AS DOUBLE), 6) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN round(n_stop / CAST(n_tok AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN n_tok > 0 THEN round(tok_len_sum / CAST(n_tok AS DOUBLE), 6) ELSE 0.0 END AS mean_token_len
+  FROM stats
+)
+SELECT doc_id, n_tok AS token_count, punct_ratio, stopword_ratio, mean_token_len,
+  round(
+    least(n_tok / 50.0, 1.0) * 0.4
+    + greatest(0.0, 1.0 - punct_ratio * 5) * 0.2
+    + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+    + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+  6) AS quality_score
+FROM ratios
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword/word-length heuristics →
+    composite [0,1] score (the cheap pre-filter stage of a training-data
+    pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("token_count"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        T.mean_token_len(F.col("text")).alias("mean_token_len"),
+        T.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+_LANG_SCORES_SQL = ",\n    ".join(
+    f"{_marker_hits_sql(m)} AS score_{lang}" for lang, m in T.LANG_MARKERS.items()
+)
+_BEST_SQL = "greatest(" + ", ".join(f"score_{l}" for l in T.LANG_MARKERS) + ")"
+_PRED_SQL = "CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END".format(
+    best=_BEST_SQL,
+    whens=" ".join(
+        f"WHEN score_{l} = {_BEST_SQL} THEN '{l}'" for l in sorted(T.LANG_MARKERS)
+    ),
+)
+
+
+@register(
+    "lang_id",
+    f"""
+WITH scored AS (SELECT doc_id, lang AS labeled_lang, {_LANG_SCORES_SQL} FROM documents)
+SELECT doc_id, labeled_lang, {_PRED_SQL} AS pred_lang,
+       ({_PRED_SQL}) = labeled_lang AS agrees
+FROM scored
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via function-word marker hits (argmax, alphabetical
+    tie-break, 'und' when nothing matches) compared to the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(str_split({_NORM}, ' '))), ' ')) AS fp
+  FROM documents
+) GROUP BY fp
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set,
+    grouped to expose shared-vocabulary clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qvec, cvec), 6) AS cosine_sim
+  FROM q JOIN c ON query_id != neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10): broadcast
+    queries × linear corpus scan, JVM-side zip_with/aggregate math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup",
+    """
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings l
+JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.35
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the label column (cluster
+    id) so candidate generation is an equi-join — the blocked-exact variant;
+    the LSH-bucketed variant is ``embedding_near_dup_lsh`` (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    l = emb.alias("l")
+    r = emb.alias("r")
+    sim = F.round(
+        similarity.cosine(
+            similarity._as_double(F.col("l.embedding")),
+            similarity._as_double(F.col("r.embedding")),
+        ),
+        6,
+    )
+    return (
+        l.join(
+            r,
+            on=[F.col("l.label") == F.col("r.label"), F.col("l.vec_id") < F.col("r.vec_id")],
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+@register("embedding_near_dup_lsh")  # approximate — rows-only check
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs — the 100 TB path (bucketed
+    candidates instead of label blocking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_by_cosine(emb, threshold=0.35)
+
+
+@register("ann_ivf_topk")  # approximate — rows-only check
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: nprobe=1 cell probe with the first 8 vectors as fixed
+    coarse centroids — the scan-reduction scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, centroids, k=5)

@@ -1,0 +1,110 @@
+"""Dedup operators (D1-D3) and the roster gate (D4), incl. the reference's
+fail-open contract and TTL semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from quill_agent_dashboard_pbi_etl_spark.operators import dedup, gates
+
+
+def test_keep_first_preserves_first_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            ("k1", 2, "second"),
+            ("k1", 1, "first"),
+            ("k2", 5, "only"),
+        ],
+        "key string, seq long, payload string",
+    )
+    out = dedup.keep_first(df, ["key"], [F.col("seq")]).collect()
+    got = {r.key: r.payload for r in out}
+    assert got == {"k1": "first", "k2": "only"}
+
+
+def test_dedup_key_format(spark):
+    df = spark.createDataFrame([("ALOWARE", "42")], "src string, eid string")
+    r = df.select(dedup.dedup_key(F.col("src"), F.col("eid")).alias("k")).collect()[0]
+    assert r.k == "ALOWARE:42"
+
+
+def test_ledger_gate_drops_seen_keeps_expired(spark):
+    now = 1_700_000_000
+    events = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "dedup_key string"
+    )
+    ledger = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2023, 1, 1), now + 1000),  # live → blocks
+            ("b", dt.datetime(2023, 1, 1), now - 1),     # expired → passes
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    out = {r.dedup_key for r in dedup.ledger_gate(events, ledger, now_epoch=now).collect()}
+    assert out == {"b", "c"}
+
+
+def test_ledger_new_entries_ttl(spark):
+    seen = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame([("x", seen), ("x", seen)], "dedup_key string, ts timestamp")
+    out = dedup.ledger_new_entries(df, F.col("ts"), ttl_days=14).collect()
+    assert len(out) == 1  # deduped
+    assert out[0].expiresAt == int(seen.timestamp()) + 14 * 86400
+
+
+def test_roster_gate_filters_and_fail_modes(spark):
+    events = spark.createDataFrame([("1",), ("2",), ("9",)], "AgentID string")
+    roster = spark.createDataFrame([("1",), ("2",)], "AgentID string")
+    assert {r.AgentID for r in gates.roster_gate(events, roster).collect()} == {"1", "2"}
+    # fetch failure → fail-open passes all (orchestrator.ts:59-61)
+    assert gates.roster_gate(events, None, fail_open=True).count() == 3
+    assert gates.roster_gate(events, None, fail_open=False).count() == 0
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup(docs).collect()
+    kept = {r.doc_id for r in out}
+    assert kept == {1, 3}  # 2 is a normalized dup of 1
+
+
+def test_minhash_finds_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated text about spark query planning and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=2).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shingles: abc bcd cde
+            (2, "a b c d x"),   # shingles: abc bcd cdx → inter=2, union=4 → 0.5
+            (3, "z z z z z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert out == {(1, 2): 0.5}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark engine test text"), (2, "spark engine test text"), (3, "zebra xylophone quartz")],
+        "doc_id long, text string",
+    )
+    fps = dedup.simhash_df(docs)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_pairs(fps, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0

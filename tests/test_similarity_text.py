@@ -1,0 +1,101 @@
+"""Similarity search and text-analysis operators (north-star ops)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from quill_agent_dashboard_pbi_etl_spark.functions import text as T
+from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    vecs = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),   # closest to 0
+            (2, [0.5, 0.5]),
+            (3, [0.0, 1.0]),   # orthogonal
+        ],
+    )
+    out = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3)
+    rows = out.collect()
+    assert [r.neighbor_id for r in rows] == [1, 2, 3]
+    assert rows[0].rank == 1
+    assert abs(rows[1].cosine_sim - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+def test_ivf_assignment_and_topk(spark):
+    corpus = _emb(
+        spark,
+        [(i, [1.0, 0.0]) for i in range(10, 13)] + [(i, [0.0, 1.0]) for i in range(20, 23)],
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, embedding array<float>"
+    )
+    assigned = similarity.assign_ivf_cells(corpus, centroids)
+    cells = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert all(cells[i] == 0 for i in (10, 11, 12))
+    assert all(cells[i] == 1 for i in (20, 21, 22))
+    # nprobe=1: query in cell 0 only sees cell-0 neighbors
+    q = _emb(spark, [(10, [1.0, 0.0])])
+    out = similarity.ivf_topk(corpus, q, centroids, k=5)
+    assert {r.neighbor_id for r in out.collect()} == {11, 12}
+
+
+def test_near_dup_by_cosine_finds_duplicates(spark):
+    vecs = _emb(
+        spark,
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-3.0, 1.0, -2.0])],
+    )
+    pairs = {(r.vec_a, r.vec_b): r.cosine_sim for r in similarity.near_dup_by_cosine(vecs, threshold=0.99).collect()}
+    assert pairs.get((1, 2)) == 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello,  world! extraordinary",), ("",)], "text string")
+    out = df.select(
+        T.token_count(F.col("text")).alias("n"),
+        T.bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()
+    assert out[0].n == 3
+    # hell+o+, + worl+d+! + extr+aord+inar+y = 10 pieces
+    assert out[0].b == 10
+    assert out[1].n == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog " * 10,), ("!!!",)],
+        "text string",
+    )
+    out = df.select(T.quality_score(F.col("text")).alias("q")).collect()
+    assert out[0].q == 1.0
+    assert out[1].q < 0.5
+
+
+def test_fingerprint_token_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")], "doc_id long, text string"
+    )
+    fps = [r.fp for r in df.select(T.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]

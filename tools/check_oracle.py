@@ -15,6 +15,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from quill_agent_dashboard_pbi_etl_spark.session import get_spark
+from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401 — registers queries
 from quill_agent_dashboard_pbi_etl_spark.plans.registry import ORACLES, QUERIES
 
 TABLES = (
