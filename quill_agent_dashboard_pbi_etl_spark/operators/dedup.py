@@ -123,6 +123,17 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+# MinHash base: one md5 per shingle → 61-bit integer, then cheap affine
+# transforms per hash function. Mersenne prime keeps products in long range.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Portable base hash: first 15 hex chars of md5 as a bigint, mod P.
+    Identical in DuckDB as ``('0x' || substr(md5(s),1,15))::BIGINT % P``."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_PRIME
+
+
 def minhash_signature_df(
     docs: DataFrame,
     text_col: str = "text",
@@ -130,18 +141,22 @@ def minhash_signature_df(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of md5(i || shingle).
+    """MinHash signatures: sig[i] = min over shingles of (a_i·h + b_i) mod P
+    with h = md5-derived base hash — ONE md5 per shingle, then ``num_hashes``
+    integer transforms (the classic universal-hash family), instead of
+    ``num_hashes`` cryptographic hashes per shingle.
 
     Exploded-shingle groupBy (shuffle keyed by doc) rather than per-row array
-    loops, so skewed doc lengths spread across the cluster. md5-hex min is a
-    total order identical in any engine — portable to the SQL oracle.
-    Returns (id, sig_0..sig_{H-1}).
+    loops, so skewed doc lengths spread across the cluster; the md5 base keeps
+    every value portable to the SQL oracle. Returns (id, sig_0..sig_{H-1}).
     """
-    sh = docs.select(
+    from ..sources.readers import ensure_min_partitions
+
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
-    )
+    ).withColumn("h", shingle_hash(F.col("shingle")))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min((F.col("h") * (2 * i + 1) + (7777 * i + 1)) % MINHASH_PRIME).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -167,7 +182,10 @@ def minhash_lsh_pairs(
     sigs = minhash_signature_df(docs, text_col, id_col, num_hashes, shingle_n)
     band_rows = []
     for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"sig_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_rows.append(
             sigs.select(
                 F.col(id_col),
@@ -213,9 +231,22 @@ def ngram_jaccard_pairs(
     Scale: the only quadratic danger is a stop-shingle appearing in most docs;
     production config should drop shingles with document frequency above a cap
     (same trick as stop-word removal). Kept exact here for oracle parity.
+
+    The self-join runs on an 8-byte ``xxhash64`` of the shingle instead of the
+    shingle string — same pair counts (collisions are ~2^-64), much cheaper
+    shuffle keys — and the exploded index is persisted so the two join sides
+    don't re-shingle the corpus.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    from ..sources.readers import ensure_min_partitions
+
+    sh = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     pairs = (
@@ -223,7 +254,7 @@ def ngram_jaccard_pairs(
         .join(
             sh.alias("r"),
             on=[
-                F.col("l.shingle") == F.col("r.shingle"),
+                F.col("l.shingle_h") == F.col("r.shingle_h"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
@@ -256,6 +287,9 @@ def simhash_df(
     are then Hamming-distance filters over the fingerprint, typically bucketed
     by fingerprint prefix at scale.
     """
+    from ..sources.readers import ensure_min_partitions
+
+    docs = ensure_min_partitions(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),

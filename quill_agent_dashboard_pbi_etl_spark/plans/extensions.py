@@ -69,19 +69,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+_P = 2147483647  # operators.dedup.MINHASH_PRIME
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
 WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P} AS h FROM sh
+),
 sigs AS (
   SELECT doc_id,
-         {', '.join(f"min(md5('seed{i}|' || shingle)) AS sig_{i}" for i in range(16))}
-  FROM sh GROUP BY doc_id
+         {', '.join(f"min((h * {2*i+1} + {7777*i+1}) % {_P}) AS sig_{i}" for i in range(16))}
+  FROM hashed GROUP BY doc_id
 ),
 buckets AS (
   {' UNION ALL '.join(
       "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sigs"
-      % (b, " || '|' || ".join(f"sig_{b*4+r}" for r in range(4)))
+      % (b, " || '|' || ".join(f"CAST(sig_{b*4+r} AS VARCHAR)" for r in range(4)))
       for b in range(4)
   )}
 )
@@ -91,8 +97,8 @@ JOIN buckets r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.d
 """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 hashes)+LSH(4 bands) candidate near-dup pairs. md5-hex min
-    per seeded hash keeps the signature identical across engines."""
+    """MinHash(16 universal hashes over one md5 base)+LSH(4 bands) candidate
+    near-dup pairs — every hash value identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
@@ -273,13 +279,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) so candidate generation is an equi-join — the blocked-exact variant;
     the LSH-bucketed variant is ``embedding_near_dup_lsh`` (rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    l = emb.alias("l")
-    r = emb.alias("r")
+    # Precompute each vector's L2 norm once (N rows) instead of twice per
+    # pair (N² sqrt-aggregates) — same doubles, same rounded values.
+    withnorm = emb.select(
+        "vec_id",
+        "label",
+        similarity._as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", similarity.l2_norm(F.col("vec"))).persist()
+    l = withnorm.alias("l")
+    r = withnorm.alias("r")
     sim = F.round(
-        similarity.cosine(
-            similarity._as_double(F.col("l.embedding")),
-            similarity._as_double(F.col("r.embedding")),
-        ),
+        similarity.dot(F.col("l.vec"), F.col("r.vec"))
+        / (F.col("l.nrm") * F.col("r.nrm")),
         6,
     )
     return (

@@ -1,0 +1,113 @@
+"""Sinks / DDL (SURVEY.md §2.2 K1-K6).
+
+The reference's sink is the Power BI Push Dataset REST API (append rows, clear
+table, create dataset). Spark-side the table store is date-partitioned parquet
+(Delta `MERGE` noted where concurrent writers need it); a REST push sink is
+kept as a ``foreachPartition`` hook honoring the public Push API limits
+(≤10k rows/POST, 120 POSTs/min, 1M rows/hr).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .schemas import (
+    DIM_AGENT_SCHEMA,
+    DIM_DATE_SCHEMA,
+    DIM_METRIC_SCHEMA,
+    DIM_SHIFT_SCHEMA,
+    FACT_EVENT_SCHEMA,
+    LEDGER_SCHEMA,
+)
+
+# The five physical tables of the push dataset (tools/pbi/create-dataset.ts:48-107).
+DATASET_TABLES: dict[str, StructType] = {
+    "FactEvent": FACT_EVENT_SCHEMA,
+    "DimAgent": DIM_AGENT_SCHEMA,
+    "DimMetric": DIM_METRIC_SCHEMA,
+    "DimDate": DIM_DATE_SCHEMA,
+    "DimShift": DIM_SHIFT_SCHEMA,
+}
+
+# Public Power BI Push Dataset REST limits (context for tables.repo.ts:15-32).
+PUSH_MAX_ROWS_PER_POST = 10_000
+
+
+def append_fact(fact: DataFrame, path: str) -> None:
+    """K1 append sink: date-partitioned parquet, append mode. Partitioning by
+    the business date key gives partition pruning for every A7 time filter
+    and bounds file sizes at 100 TB (one directory per day)."""
+    fact.write.mode("append").partitionBy("FactDateKey").parquet(path)
+
+
+def overwrite_dim(dim: DataFrame, path: str) -> None:
+    """K2+K6 clear-and-replace dimension sink: atomic overwrite — replaces
+    the reference's delete-then-insert window (dimagent.sync.service.ts:21-33
+    + :104-108) with a single atomic swap."""
+    dim.write.mode("overwrite").parquet(path)
+
+
+def create_dataset(spark: SparkSession, base_path: str) -> dict[str, str]:
+    """K3 dataset DDL: materialize all five tables as empty parquet layouts
+    with their declared schemas (mirror of buildSchema(),
+    tools/pbi/create-dataset.ts:48-135)."""
+    paths = {}
+    for name, schema in DATASET_TABLES.items():
+        path = os.path.join(base_path, name)
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+        paths[name] = path
+    return paths
+
+
+def ledger_bootstrap(spark: SparkSession, path: str) -> None:
+    """K5 ledger DDL/reset: empty PK-only ledger table
+    (tools/dynamo/bootstrap-local.ts:70-91)."""
+    spark.createDataFrame([], LEDGER_SCHEMA).write.mode("overwrite").parquet(path)
+
+
+def append_ledger(entries: DataFrame, path: str) -> None:
+    """K4 ledger append after a successful gate+post cycle. Single-writer per
+    pipeline run; use Delta ``MERGE ... WHEN NOT MATCHED INSERT`` when
+    concurrent writers exist (SURVEY.md §7 risk register)."""
+    entries.write.mode("append").parquet(path)
+
+
+def prune_ledger(spark: SparkSession, path: str, now_epoch: int) -> DataFrame:
+    """TTL compaction: drop expired entries (DynamoDB does this async within
+    ~48h; here it is an explicit rewrite job run on a schedule)."""
+    live = spark.read.parquet(path).filter(F.col("expiresAt") >= F.lit(now_epoch))
+    return live
+
+
+def push_rows_rest(
+    df: DataFrame,
+    post: Callable[[list[dict]], None],
+    max_rows_per_post: int = PUSH_MAX_ROWS_PER_POST,
+) -> None:
+    """K1 true push-sink shape: per-partition chunked POSTs of JSON rows
+    (`{rows:[...]}` bodies, tables.repo.ts:15-32). ``post`` is the injected
+    HTTP call — per-partition so N executors push concurrently while each
+    stays under the public per-POST row limit.
+
+    NOTE: per-partition chunking bounds memory; rate limiting (120 POSTs/min)
+    belongs in the injected ``post`` (token bucket), as in the reference's SDK.
+    """
+
+    def send(partition: Iterator[Row]) -> None:
+        buf: list[dict] = []
+        for row in partition:
+            buf.append(row.asDict())
+            if len(buf) >= max_rows_per_post:
+                post(buf)
+                buf = []
+        if buf:
+            post(buf)
+
+    df.foreachPartition(send)

@@ -44,6 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy projection.
+
+    The driver testdata is single-row-group parquet → Spark scans it as ONE
+    task regardless of core count. For expression-heavy stages (JSON probing,
+    regex, shingling) that serializes the whole pipeline, so we pay one cheap
+    narrow-input shuffle to unlock N-way parallelism. On a real 100 TB layout
+    (many files/row groups) the scan already parallelizes and this no-ops.
+    """
+    if min_parts is None:
+        sc = df.sparkSession.sparkContext
+        min_parts = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

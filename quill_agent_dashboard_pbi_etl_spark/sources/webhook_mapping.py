@@ -44,8 +44,19 @@ TZ_BY_MOD = ["UTC", "America/New_York", "America/Los_Angeles", "Europe/Berlin", 
 
 def events_as_webhooks(events: DataFrame) -> DataFrame:
     """Project the driver events table into the webhook shape consumed by
-    ``functions.adapter.normalize_webhooks``."""
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ``functions.adapter.normalize_webhooks``.
+
+    ``k`` is extracted from the JSON props ONCE into a column (the mapping
+    uses it four times; repeating ``get_json_object`` would re-parse the JSON
+    per use), and the scan is spread to full parallelism first — the adapter
+    chain is the most expression-heavy stage in the engine.
+    """
+    from .readers import ensure_min_partitions
+
+    events = ensure_min_partitions(events).withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    k = F.col("k")
     uid = F.col("user_id")
     eid = F.col("event_id")
     received = F.col("ts") + F.expr("INTERVAL 1 HOUR")

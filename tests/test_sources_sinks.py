@@ -1,0 +1,111 @@
+"""Source connectors (S3 file replay, S4 roster) and sinks (K1-K6)."""
+
+from __future__ import annotations
+
+import json
+
+from quill_agent_dashboard_pbi_etl_spark import sinks
+from quill_agent_dashboard_pbi_etl_spark.sources.readers import (
+    load_roster_snapshot,
+    replay_json_dir,
+)
+
+
+def test_replay_json_dir_filters_sorts_limits(spark, tmp_path):
+    """S3/P13 (tools/harness/run-aloware.ts:35-48,61-69): recursive listing,
+    substring pattern filter, .json extension filter, lexicographic order,
+    first-N-files limit."""
+    (tmp_path / "sub").mkdir()
+    files = {
+        "a_aloware_1.json": {"id": 1},
+        "b_other_2.json": {"id": 2},
+        "sub/c_aloware_3.json": {"id": 3},
+        "d_aloware_4.txt": {"id": 4},  # wrong extension → excluded
+    }
+    for name, payload in files.items():
+        with open(tmp_path / name, "w") as f:
+            f.write(json.dumps(payload))
+
+    all_json = replay_json_dir(spark, str(tmp_path))
+    assert all_json.count() == 3  # txt excluded, recursive included
+
+    filtered = replay_json_dir(spark, str(tmp_path), pattern="aloware")
+    assert filtered.count() == 2
+
+    limited = replay_json_dir(spark, str(tmp_path), pattern="aloware", limit=1)
+    rows = limited.collect()
+    assert len(rows) == 1
+    assert "a_aloware_1" in rows[0].file_name  # lexicographically first
+
+
+def test_roster_snapshot_projection(spark, tmp_path):
+    """S4 (dimagent.sync.service.ts:35-46): testResults[].{id,name,email} →
+    DimAgent rows; null name/email → ''."""
+    report = {"testResults": [
+        {"id": 1, "name": "Ann", "email": "a@x.com"},
+        {"id": 2, "name": None, "email": None},
+    ]}
+    path = tmp_path / "roster.json"
+    path.write_text(json.dumps(report))
+    rows = {r.AgentID: r for r in load_roster_snapshot(spark, str(path)).collect()}
+    assert rows["1"].AgentName == "Ann"
+    assert rows["2"].AgentName == "" and rows["2"].Email == ""
+    assert all(r.ActiveFlag for r in rows.values())
+
+
+def test_create_dataset_and_fact_roundtrip(spark, tmp_path):
+    """K3 dataset DDL + K1 append + K2 overwrite."""
+    paths = sinks.create_dataset(spark, str(tmp_path / "ds"))
+    assert set(paths) == {"FactEvent", "DimAgent", "DimMetric", "DimDate", "DimShift"}
+    fact = spark.createDataFrame(
+        [("e1", "a1", "2024-01-15", "CALLS", "")],
+        "EventID string, AgentID string, FactDateKey string, MetricID string, Notes string",
+    )
+    sinks.append_fact(fact, paths["FactEvent"] + "_data")
+    back = spark.read.parquet(paths["FactEvent"] + "_data")
+    assert back.count() == 1
+
+    dim = spark.createDataFrame([("a1", "Ann", "", "", True)],
+        "AgentID string, AgentName string, Email string, TimezoneIANA string, ActiveFlag boolean")
+    sinks.overwrite_dim(dim, paths["DimAgent"])
+    sinks.overwrite_dim(dim.limit(0), paths["DimAgent"])  # K2 clear
+    assert spark.read.parquet(paths["DimAgent"]).count() == 0
+
+
+def test_ledger_bootstrap_append_prune(spark, tmp_path):
+    """K4/K5 + TTL prune."""
+    path = str(tmp_path / "ledger")
+    sinks.ledger_bootstrap(spark, path)
+    import datetime as dt
+
+    entries = spark.createDataFrame(
+        [("k1", dt.datetime(2024, 1, 1), 100), ("k2", dt.datetime(2024, 1, 2), 900)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    sinks.append_ledger(entries, path)
+    live = sinks.prune_ledger(spark, path, now_epoch=500)
+    assert {r.pk for r in live.collect()} == {"k2"}
+
+
+def test_push_rows_rest_chunking(spark):
+    """K1 REST push shape: ≤ max rows per POST, all rows delivered."""
+    df = spark.createDataFrame([(i,) for i in range(25)], "id long").coalesce(2)
+    from quill_agent_dashboard_pbi_etl_spark.sinks import push_rows_rest
+
+    class Collector:
+        def __init__(self):
+            self.batches = []
+
+        def __call__(self, rows):
+            self.batches.append(len(rows))
+
+    # foreachPartition runs on executors; in local mode the closure state
+    # lives in the same process only for the driver-side check via accumulator
+    acc = spark.sparkContext.accumulator(0)
+
+    def post(rows):
+        assert len(rows) <= 10
+        acc.add(len(rows))
+
+    push_rows_rest(df, post, max_rows_per_post=10)
+    assert acc.value == 25

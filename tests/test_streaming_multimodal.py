@@ -72,8 +72,9 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.count() == 3  # no duplicate rows appended
     assert {r.EventID for r in df.collect()} == {"ALOWARE:1", "ALOWARE:2", "ALOWARE:3"}
-    # date partitioning by business date key
-    assert {r.FactDateKey for r in df.collect()} == {"2024-01-15"}
+    # date partitioning by business date key (read back via Spark's partition
+    # type inference as a date)
+    assert {str(r.FactDateKey) for r in df.collect()} == {"2024-01-15"}
 
 
 def test_batch_replay_same_graph(spark):
