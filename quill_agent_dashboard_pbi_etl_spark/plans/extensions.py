@@ -315,6 +315,143 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_by_cosine(emb, threshold=0.35)
 
 
+@register(
+    "sessionize_events",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the standard telemetry operator the reference's event stream would need
+    at dashboard scale. One shuffle on user_id serves both windows and the
+    final rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared at µs precision — matches the oracle's exact INTERVAL math
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_sec"
+        ),
+    )
+
+
+@register(
+    "rollup_grouping_sets",
+    """
+WITH normalized AS (
+  SELECT CASE event_type WHEN 'purchase' THEN 'CALLS' WHEN 'signup' THEN 'TEXTS'
+         ELSE 'OTHER' END AS MetricID,
+         CAST(user_id AS VARCHAR) AS AgentID
+  FROM events WHERE event_type IN ('purchase', 'signup')
+)
+SELECT AgentID, MetricID, count(*) AS EventCount,
+       CAST(grouping(AgentID) AS BIGINT) AS g_agent,
+       CAST(grouping(MetricID) AS BIGINT) AS g_metric
+FROM normalized
+GROUP BY GROUPING SETS ((AgentID, MetricID), (MetricID), ())
+""",
+)
+def q_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup in one pass via GROUPING SETS — (agent, metric),
+    per-metric totals, and the grand total share a single shuffle (extension
+    surface beyond the reference's per-day DAX rollups)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        WITH normalized AS (
+          SELECT CASE event_type WHEN 'purchase' THEN 'CALLS' WHEN 'signup' THEN 'TEXTS'
+                 ELSE 'OTHER' END AS MetricID,
+                 CAST(user_id AS STRING) AS AgentID
+          FROM events_gs WHERE event_type IN ('purchase', 'signup')
+        )
+        SELECT AgentID, MetricID, count(*) AS EventCount,
+               CAST(grouping(AgentID) AS BIGINT) AS g_agent,
+               CAST(grouping(MetricID) AS BIGINT) AS g_metric
+        FROM normalized
+        GROUP BY GROUPING SETS ((AgentID, MetricID), (MetricID), ())
+        """
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id AS asset_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha256,
+       round(list_sum(list_transform(range(8),
+             i -> ('0x' || substr(sha256(text), 2*i+1, 2))::BIGINT / 255.0)) / 8.0, 6) AS feat_mean,
+       8 AS feat_dim,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 ELSE greatest(1, octet_length(encode(text)) // 64) END AS INTEGER) AS frames_sampled
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline: documents → binary asset columns →
+    mapInPandas decode/feature extraction (stubbed codecs, deterministic fake
+    decoder — functions/multimodal.py). The sha256-derived features are
+    mirrored exactly by the SQL oracle, proving the Arrow-batch plumbing
+    end-to-end."""
+    from ..functions.multimodal import extract_features, synthesize_assets_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_assets_from_documents(docs))
+    return feats.withColumn("feat_mean", F.round(F.col("feat_mean") / 1.0, 6)).select(
+        "asset_id",
+        "modality",
+        "byte_len",
+        "content_sha256",
+        "feat_mean",
+        F.col("feat_dim").cast("int").alias("feat_dim"),
+        "frames_sampled",
+    )
+
+
 @register("ann_ivf_topk")  # approximate — rows-only check
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: nprobe=1 cell probe with the first 8 vectors as fixed

@@ -20,6 +20,8 @@ TABLES = (
 
 
 def _norm(v):
+    if v is None:
+        return "\x00__NULL__"
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
     if hasattr(v, "isoformat"):
@@ -39,12 +41,12 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_SMALL)
     scols = sorted(sdf.columns)
-    srows = sorted(tuple(_norm(r[c]) for c in scols) for r in sdf.collect())
+    srows = sorted((tuple(_norm(r[c]) for c in scols) for r in sdf.collect()), key=repr)
 
     rel = duck.sql(ORACLES[name])
     idx = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
     dcols = [rel.columns[i] for i in idx]
-    drows = sorted(tuple(_norm(row[i]) for i in idx) for row in rel.fetchall())
+    drows = sorted((tuple(_norm(row[i]) for i in idx) for row in rel.fetchall()), key=repr)
 
     assert scols == dcols
     assert len(srows) == len(drows)

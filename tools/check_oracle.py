@@ -24,6 +24,8 @@ TABLES = (
 
 
 def norm(v):
+    if v is None:
+        return "\x00__NULL__"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -47,7 +49,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
             srows = sorted(
-                tuple(norm(r[c]) for c in scols) for r in sdf.collect()
+                (tuple(norm(r[c]) for c in scols) for r in sdf.collect()), key=repr
             )
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -61,7 +63,7 @@ def main() -> int:
             dcols_raw = rel.columns
             idx = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = [dcols_raw[i] for i in idx]
-            drows = sorted(tuple(norm(row[i]) for i in idx) for row in rel.fetchall())
+            drows = sorted((tuple(norm(row[i]) for i in idx) for row in rel.fetchall()), key=repr)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
