@@ -180,22 +180,34 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signature_df(docs, text_col, id_col, num_hashes, shingle_n)
-    band_rows = []
-    for b in range(bands):
-        cols = [
-            F.col(f"sig_{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_rows.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+    # One band row per (doc, band) via a single explode — NOT a per-band
+    # union, which would recompute the whole signature subtree `bands` times.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionAll(br)
+        for b in range(bands)
+    ]
+    # Persist the narrow bucket table: the self-join below would otherwise
+    # recompute the whole shingle→signature pipeline for BOTH sides.
+    buckets = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            F.col(id_col),
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        .persist()
+    )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -324,7 +336,7 @@ def simhash_near_pairs(
     on the high-bit prefix with probability ≈ 1 − max_hamming/bits)."""
     bucketed = fps.withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    )
+    ).persist()  # self-joined below; avoid recomputing the fingerprint pass twice
     l, r = bucketed.alias("l"), bucketed.alias("r")
     xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
     return (

@@ -1,0 +1,54 @@
+"""Skew utilities + the driver-contract smoke checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quill_agent_dashboard_pbi_etl_spark.operators import skew
+
+
+def test_salted_agg_count_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 500 + [("cold1",)] * 3 + [("cold2",)] * 7, "k string"
+    )
+    salted = {r.k: r.cnt for r in skew.salted_agg_count(df, ["k"], buckets=8).collect()}
+    plain = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert salted == plain == {"hot": 500, "cold1": 3, "cold2": 7}
+
+
+def test_salted_join_matches_plain_join(spark):
+    facts = spark.createDataFrame(
+        [("unknown", i) for i in range(200)] + [("a1", 1), ("a2", 2)],
+        "AgentID string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("unknown", "Unknown"), ("a1", "Ann"), ("a3", "Cee")],
+        "AgentID string, AgentName string",
+    )
+    out = skew.salted_join_hot_keys(facts, dim, "AgentID", ["unknown"], buckets=4)
+    plain = facts.join(dim, "AgentID", "left")
+    assert out.count() == plain.count() == 202
+    got = {(r.AgentID, r.AgentName) for r in out.collect()}
+    assert ("unknown", "Unknown") in got
+    assert ("a2", None) in got
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entrymod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"AgentID", "FactDateKey", "MetricID", "EventCount", "GoalPct"} <= set(df.columns)
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+    # spot-run one query through the public contract
+    out = qs["daily_rollup"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
