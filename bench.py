@@ -22,6 +22,7 @@ from quill_agent_dashboard_pbi_etl_spark.session import get_spark
 # Representative spread: ingest pipeline, dedup/gates, analytics, TPC-H-shaped
 # joins/aggs, and the north-star extension ops.
 HEADLINE = [
+    "ingest_pipeline_full",
     "adapter_normalize",
     "within_batch_dedup",
     "ledger_gate",
@@ -29,8 +30,13 @@ HEADLINE = [
     "daily_rollup",
     "pace_color",
     "star_join_enriched",
+    "sessionize_events",
+    "rollup_grouping_sets",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_delta",
+    "tpch_q9_profit_by_nation",
     "region_revenue",
     "top_customers_per_nation",
     "dedup_exact",
@@ -40,6 +46,7 @@ HEADLINE = [
     "lang_id",
     "ann_cosine_topk",
     "embedding_near_dup",
+    "multimodal_features",
 ]
 
 

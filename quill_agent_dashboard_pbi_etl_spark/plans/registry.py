@@ -572,6 +572,64 @@ def q_time_filter_last_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_filter_yesterday",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized
+WHERE FactDateKey = strftime(DATE '{NOW_ANCHOR_DATE}' - INTERVAL 1 DAY, '%Y-%m-%d')
+GROUP BY MetricID
+""",
+)
+def q_time_filter_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 'Yesterday' filter + metric rollup."""
+    fact = normalized_fact(spark, sf_dir)
+    anchor = F.to_date(F.lit(NOW_ANCHOR_DATE))
+    return (
+        fact.filter(rollups.time_filter(F.col("FactDateKey"), "yesterday", anchor))
+        .groupBy("MetricID")
+        .agg(F.count("*").alias("EventCount"))
+    )
+
+
+@register(
+    "time_filter_last_week",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized
+WHERE strptime(FactDateKey, '%Y-%m-%d')::DATE
+      >= DATE '{NOW_ANCHOR_DATE}' - CAST(isodow(DATE '{NOW_ANCHOR_DATE}') - 1 AS INTEGER) - 7
+  AND strptime(FactDateKey, '%Y-%m-%d')::DATE
+      <  DATE '{NOW_ANCHOR_DATE}' - CAST(isodow(DATE '{NOW_ANCHOR_DATE}') - 1 AS INTEGER)
+GROUP BY MetricID
+""",
+)
+def q_time_filter_last_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 'Last Week' (previous ISO Mon-Sun) filter + metric rollup."""
+    fact = normalized_fact(spark, sf_dir)
+    anchor = F.to_date(F.lit(NOW_ANCHOR_DATE))
+    return (
+        fact.filter(rollups.time_filter(F.col("FactDateKey"), "last_week", anchor))
+        .groupBy("MetricID")
+        .agg(F.count("*").alias("EventCount"))
+    )
+
+
+@register("approx_distinct_agents")  # HLL sketch — engine-native, rows-only
+def q_approx_distinct_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++): distinct agents per
+    metric with bounded error and O(1) state — the sketch path a 100 TB
+    dashboard uses instead of exact distincts (extension surface, SURVEY
+    §2.5 'no approximate aggregates in the reference')."""
+    fact = normalized_fact(spark, sf_dir)
+    return fact.groupBy("MetricID").agg(
+        F.approx_count_distinct("AgentID", 0.01).alias("approx_agents"),
+        F.count_distinct("AgentID").alias("exact_agents"),
+    )
+
+
+@register(
     "star_join_enriched",
     f"""
 WITH {NORMALIZED_CTE}, {_DIM_METRIC_SQL}
@@ -669,7 +727,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -679,7 +737,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact and engine-portable, cast back to DOUBLE at the boundary."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
@@ -721,15 +779,17 @@ LIMIT 10
 """,
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped shipping priority: selective dim filter → fact joins →
-    top-N by aggregated revenue. Customer side is broadcast; lineitem never
-    shuffles for the join (only for the final groupBy)."""
+    """TPC-H Q3-shaped shipping priority: selective filter → fact joins →
+    top-N by aggregated revenue. customer/orders/lineitem all scale with the
+    data, so no explicit broadcasts — AQE picks broadcast or shuffle join at
+    runtime from actual sizes (at bench SF the filtered side broadcasts
+    itself; at 100 TB it degrades gracefully to shuffle joins)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            broadcast(o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])),
+            o.join(c, o["o_custkey"] == c["c_custkey"]),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -772,16 +832,18 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Only the bounded dims (nation=25, region=5) broadcast explicitly;
+    # customer/orders scale with SF, so their joins are left to AQE.
     cust_region = (
         c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("c_custkey", "r_name")
     )
-    ord_region = o.join(broadcast(cust_region), o["o_custkey"] == F.col("c_custkey")).select(
+    ord_region = o.join(cust_region, o["o_custkey"] == F.col("c_custkey")).select(
         "o_orderkey", "r_name"
     )
     return (
-        li.join(broadcast(ord_region), li["l_orderkey"] == F.col("o_orderkey"))
+        li.join(ord_region, li["l_orderkey"] == F.col("o_orderkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.sum(
@@ -790,6 +852,113 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("lineitem_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q6_revenue_delta",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue_delta,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue delta: pure scan + conjunctive
+    predicates + single agg — the canonical predicate-pushdown benchmark
+    (every filter reaches the parquet reader; .explain shows PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: EXISTS → left-semi join from
+    orders into lineitem, then rollup by priority."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        on=[o["o_orderkey"] == li["l_orderkey"], li["l_shipdate"] > o["o_orderdate"]],
+        how="left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS amount
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%ar%'
+GROUP BY nation, o_year
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-profit rollup: 5-table join with a selective
+    part filter. Only bounded nation broadcasts explicitly; part/supplier/
+    orders scale with data, so AQE chooses their join strategies at runtime;
+    one final shuffle for the (nation, year) rollup."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ar%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(p.select("p_partkey"), li["l_partkey"] == F.col("p_partkey"))
+        .join(
+            s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+                "s_suppkey", "n_name"
+            ),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("amount")
         )
     )
 
@@ -820,7 +989,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     spend = (
-        o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name", "c_custkey")
         .agg(
