@@ -462,3 +462,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, centroids, k=5)
+
+
+@register(
+    "ann_cosine_topk_vectorized",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qvec, cvec), 6) AS cosine_sim
+  FROM q JOIN c ON query_id != neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy fast lane for exact cosine top-k: broadcast query matrix,
+    per-batch (B×D)·(D×Q) matmul, per-partition local top-k (functions/
+    vectors.py). Same semantics/oracle as ann_cosine_topk — the BLAS path for
+    high-dim or many-query workloads."""
+    from ..functions.vectors import topk_vs_query_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return topk_vs_query_matrix(emb, query_rows, k=5)
