@@ -326,7 +326,11 @@ def q_ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rollup."""
     import datetime as dt
 
-    fact = normalized_fact(spark, sf_dir)
+    # The fact feeds three branches (dedup, the synthetic ledger, the
+    # synthetic roster); persist the one normalize pass instead of paying the
+    # expression-heavy adapter chain 3×. In production the ledger/roster are
+    # separate small tables and no cache is needed.
+    fact = normalized_fact(spark, sf_dir).persist()
     kept = dedup.keep_first(fact, ["EventID"], [F.col("EventTime"), F.col("Notes")])
     ledger = fact.filter(
         F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
