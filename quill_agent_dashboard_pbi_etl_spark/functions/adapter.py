@@ -31,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Reference source→metric mapping tables (src/domain/mapping.ts:6-14).
+# P10 source→metric mapping tables (src/domain/mapping.ts:6-14) — static
+# literals folded into the classifier expressions (a broadcast-joined mapping
+# DF would also work; a 2-row dict does not warrant a join).
 ALOWARE_TO_METRIC = {"outbound_call": "CALLS", "outbound_text": "TEXTS"}
 HUBSPOT_TO_METRIC = {"email_sent": "EMAILS", "case_created": "CASES"}
 

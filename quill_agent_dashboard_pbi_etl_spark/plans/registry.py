@@ -524,8 +524,9 @@ FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERV
 """,
 )
 def q_dim_date_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 calendar generation (schema doc:92-106): one row per 2024 day,
-    DayOfWeek 1=Mon..7=Sun, distributed sequence+explode."""
+    """A8/C4 calendar generation + DimDate seed workflow (schema doc:92-106,
+    src_architecture_proposal.md:92-94): one row per 2024 day, DayOfWeek
+    1=Mon..7=Sun, distributed sequence+explode."""
     return rollups.build_dim_date(spark, "2024-01-01", "2024-12-31").drop("Date")
 
 

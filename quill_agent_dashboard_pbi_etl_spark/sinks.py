@@ -80,8 +80,9 @@ def append_ledger(entries: DataFrame, path: str) -> None:
 
 
 def prune_ledger(spark: SparkSession, path: str, now_epoch: int) -> DataFrame:
-    """TTL compaction: drop expired entries (DynamoDB does this async within
-    ~48h; here it is an explicit rewrite job run on a schedule)."""
+    """S5 ledger reader + TTL compaction: load the ledger table and drop
+    expired entries (ledger.repo.ts:16-27 existence check reads; DynamoDB
+    expires async within ~48h — here it is an explicit rewrite job)."""
     live = spark.read.parquet(path).filter(F.col("expiresAt") >= F.lit(now_epoch))
     return live
 

@@ -110,3 +110,82 @@ def test_multimodal_feature_extraction(spark, tmp_path):
     # deterministic: same payload → same hash/features
     assert rows[0].content_sha256 == rows[3].content_sha256
     assert rows[0].byte_len == len(b"alpha")
+
+
+def test_stateful_session_close(spark, tmp_path):
+    """applyInPandasWithState gap sessions: emitted exactly once, on gap-close
+    (in-batch and cross-batch) and on watermark timeout."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.stateful import close_gap_sessions
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "sessions"
+    ckpt = tmp_path / "ckpt"
+
+    def run_batch():
+        from quill_agent_dashboard_pbi_etl_spark.functions.adapter import normalize_webhooks
+        from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+            envelopes_to_webhook_shape,
+        )
+
+        stream = read_envelope_stream(spark, str(landing))
+        # Sessionization is its own consumer of the normalized stream (the
+        # dedup stage's 14-day watermark would stall session timeouts).
+        fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
+        sessions = close_gap_sessions(fact, gap_minutes=30)
+
+        def write(df, _bid):
+            df.write.mode("append").parquet(str(out))
+
+        q = sessions.writeStream.foreachBatch(write).outputMode("update").option(
+            "checkpointLocation", str(ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    # Batch 1 — agent 42: 12:00, 12:10, then 14:00 (gap > 30 min closes the
+    # first session in-batch); agent 7: a single 12:05 event (stays open).
+    with open(landing / "b1.json", "w") as f:
+        for eid, created, owner in (
+            (1, "2024-01-15T12:00:00", 42),
+            (2, "2024-01-15T12:10:00", 42),
+            (3, "2024-01-15T14:00:00", 42),
+            (4, "2024-01-15T12:05:00", 7),
+        ):
+            env = _envelope(eid, created=created)
+            body = _json.loads(env["body"])
+            body["body"]["owner_id"] = owner
+            env["body"] = _json.dumps(body)
+            f.write(_json.dumps(env) + "\n")
+    run_batch()
+
+    got = {
+        (r.AgentID, str(r.session_start), r.n_events, r.first_event, r.last_event)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # The gap inside batch 1 closes agent 42's first session; the trailing
+    # no-data micro-batch advances the watermark to 13:50, which also times
+    # out agent 7's 12:05 session (timeout 12:35). Agent 42's open 14:00
+    # session (timeout 14:30) survives in state.
+    assert got == {
+        ("42", "2024-01-15 12:00:00", 2, "ALOWARE:1", "ALOWARE:2"),
+        ("7", "2024-01-15 12:05:00", 1, "ALOWARE:4", "ALOWARE:4"),
+    }
+
+    # Batch 2 — agent 42 again at 16:00: closes its 14:00 session cross-batch
+    # via the gap rule (state restored from the checkpoint).
+    with open(landing / "b2.json", "w") as f:
+        env = _envelope(5, created="2024-01-15T16:00:00")
+        f.write(_json.dumps(env) + "\n")
+    run_batch()
+
+    got = {
+        (r.AgentID, str(r.session_start), r.n_events, r.first_event, r.last_event)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        ("42", "2024-01-15 12:00:00", 2, "ALOWARE:1", "ALOWARE:2"),
+        ("42", "2024-01-15 14:00:00", 1, "ALOWARE:3", "ALOWARE:3"),
+        ("7", "2024-01-15 12:05:00", 1, "ALOWARE:4", "ALOWARE:4"),
+    }
