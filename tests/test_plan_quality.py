@@ -1,0 +1,106 @@
+"""Physical-plan regressions: the properties that make these queries viable
+at 100 TB must hold in the compiled plan, not just in intent — predicate
+pushdown into the parquet scan, column pruning, broadcast of small dims, and
+zero Python evaluation in reference-parity paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
+from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
+
+from conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    txt = formatted(QUERIES["tpch_q6_revenue_delta"](spark, SF_SMALL))
+    assert "PushedFilters" in txt
+    # every conjunct reaches the reader
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in txt or col in txt.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_q6_scan_prunes_columns(spark):
+    txt = formatted(QUERIES["tpch_q6_revenue_delta"](spark, SF_SMALL))
+    read_schema = [l for l in txt.splitlines() if "ReadSchema" in l][0]
+    # 4 needed columns only — a scan reading l_comment-style extras is wrong
+    assert "l_extendedprice" in read_schema and "l_shipdate" in read_schema
+    for unused in ("l_returnflag", "l_orderkey", "l_partkey", "l_tax"):
+        assert unused not in read_schema
+
+
+def test_adapter_scan_prunes_unused_event_columns(spark):
+    txt = formatted(QUERIES["adapter_normalize"](spark, SF_SMALL))
+    read_schema = [l for l in txt.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in read_schema  # never referenced by the adapter
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan_of(QUERIES["star_join_enriched"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # no dim is big enough to justify one
+
+
+def test_goal_attainment_broadcasts_dim_metric(spark):
+    p = plan_of(QUERIES["goal_attainment"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "adapter_normalize",
+        "within_batch_dedup",
+        "ledger_gate",
+        "roster_gate",
+        "daily_rollup",
+        "goal_attainment",
+        "pace_color",
+        "star_join_enriched",
+        "ingest_pipeline_full",
+        "dim_date_seed",
+        "time_filter_today",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+    ],
+)
+def test_parity_paths_have_no_python_eval(spark, name):
+    """SURVEY.md §2.8: zero Python UDFs in reference-parity plans — everything
+    stays JVM-side/whole-stage-codegen."""
+    p = plan_of(QUERIES[name](spark, SF_SMALL))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+
+
+def test_parity_paths_use_whole_stage_codegen(spark):
+    # AQE defers codegen planning until runtime; disable it to see the spans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_of(QUERIES["tpch_q1_pricing_summary"](spark, SF_SMALL))
+        # `*(N)` prefixes mark whole-stage-codegen spans; filter, project and
+        # partial aggregate must all fuse into span 1 above the scan.
+        for op in ("*(1) HashAggregate", "*(1) Project", "*(1) Filter"):
+            assert op in p, p[:500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_rollup_plan_has_partial_aggregation(spark):
+    """daily_rollup must map-side combine: two HashAggregates around one
+    Exchange (partial + final), so only group keys shuffle, not events."""
+    p = plan_of(QUERIES["daily_rollup"](spark, SF_SMALL))
+    assert p.count("HashAggregate") >= 2
+    before, _, after = p.partition("Exchange")
+    assert "HashAggregate" in before and "HashAggregate" in after
