@@ -35,8 +35,11 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_delta",
     "tpch_q9_profit_by_nation",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q18_large_volume_customers",
     "region_revenue",
     "top_customers_per_nation",
     "dedup_exact",
