@@ -1134,3 +1134,33 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont("value", 0.5), 6) AS p50,
+       round(quantile_cont("value", 0.95), 6) AS p95,
+       round(quantile_cont("value", 0.99), 6) AS p99,
+       round(avg("value"), 6) AS mean_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentile distribution of the event value measure.
+
+    Exact ``percentile`` keeps the group's values in memory on one reducer —
+    fine for low-cardinality groups like event_type (5 groups); at 100 TB with
+    high-cardinality groups, swap ``percentile`` → ``approx_percentile``
+    (t-digest sketch, mergeable map-side, bounded memory) — same plan shape,
+    no exact oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count("*").alias("n"),
+    )
