@@ -1164,3 +1164,70 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mean_value"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "multi_source_union",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT EventID, AgentID, FactDateKey, MetricID, coalesce(Notes, '') AS Notes
+FROM normalized
+UNION ALL
+SELECT 'HUBSPOT:' || CAST(event_id AS VARCHAR),
+       'unknown',
+       strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%d'),
+       'EMAILS',
+       'hubspot placeholder'
+FROM events
+""",
+)
+def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-adapter fan-in: ALOWARE-normalized facts unioned with the
+    HubSpot-stub rows (the orchestrator's adapter-dispatch table as a set op).
+    ``unionByName`` keeps the plan a zero-shuffle concatenation — both source
+    scans stay independent and parallel."""
+    from ..functions.adapter import hubspot_placeholder, to_physical_rows
+
+    aloware = to_physical_rows(normalized_fact(spark, sf_dir))
+    env = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("ext_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("receivedAt"),
+    )
+    return aloware.unionByName(hubspot_placeholder(env))
+
+
+@register(
+    "cumulative_agent_counts",
+    f"""
+WITH {NORMALIZED_CTE},
+daily AS (
+  SELECT AgentID, FactDateKey, MetricID, count(*) AS EventCount
+  FROM normalized GROUP BY AgentID, FactDateKey, MetricID
+)
+SELECT AgentID, FactDateKey, MetricID, EventCount,
+       sum(EventCount) OVER (
+         PARTITION BY AgentID, MetricID ORDER BY FactDateKey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_total,
+       CAST(row_number() OVER (
+         PARTITION BY AgentID, MetricID ORDER BY FactDateKey
+       ) AS BIGINT) AS day_seq
+FROM daily
+""",
+)
+def q_cumulative_agent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-agent totals: window frame over the daily rollup
+    (month-to-date pace for the dashboard). The window partitions by
+    (AgentID, MetricID) — the same key family as the rollup shuffle, so AQE
+    plans one exchange for both when partitioning aligns."""
+    from pyspark.sql import Window
+
+    daily = rollups.daily_rollup(normalized_fact(spark, sf_dir))
+    w = Window.partitionBy("AgentID", "MetricID").orderBy("FactDateKey")
+    return (
+        daily.withColumn(
+            "running_total",
+            F.sum("EventCount").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("day_seq", F.row_number().over(w).cast("long"))
+    )
