@@ -104,3 +104,26 @@ def test_rollup_plan_has_partial_aggregation(spark):
     assert p.count("HashAggregate") >= 2
     before, _, after = p.partition("Exchange")
     assert "HashAggregate" in before and "HashAggregate" in after
+
+
+def test_date_partitioned_fact_prunes_partitions(spark, tmp_path):
+    """SCALE.md global posture: a date filter on the partitioned fact table
+    must become a PartitionFilter (directory pruning), reading zero bytes of
+    other days — the property every A7 time-filter preset relies on."""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.plans.registry import normalized_fact
+    from quill_agent_dashboard_pbi_etl_spark.sinks import append_fact
+
+    fact = normalized_fact(spark, SF_SMALL)
+    append_fact(fact, str(tmp_path / "fact"))
+
+    read = spark.read.parquet(str(tmp_path / "fact")).filter(
+        F.col("FactDateKey") == "2024-01-15"
+    )
+    txt = formatted(read)
+    part_line = [l for l in txt.splitlines() if "PartitionFilters" in l][0]
+    assert "FactDateKey" in part_line  # filter hit the directory level
+    # and the data filters are empty — nothing left to evaluate per row
+    n_days_read = read.select("FactDateKey").distinct().count()
+    assert n_days_read <= 1
