@@ -1231,3 +1231,44 @@ def q_cumulative_agent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("day_seq", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "dim_metric_sync",
+    """
+SELECT * FROM (VALUES
+  ('CALLS', 'Outbound Calls', CAST(50 AS BIGINT), CAST(0.85 AS DOUBLE)),
+  ('TEXTS', 'Outbound Texts', CAST(45 AS BIGINT), CAST(0.85 AS DOUBLE)),
+  ('EMAILS', 'Emails Sent', CAST(20 AS BIGINT), CAST(0.85 AS DOUBLE)),
+  ('CASES', 'Cases Created', CAST(5 AS BIGINT), CAST(0.85 AS DOUBLE))
+) AS m(MetricID, MetricName, DefaultGoal, DefaultYellowFloorPct)
+""",
+)
+def q_dim_metric_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 DimMetric monthly sync (src_architecture_proposal.md:87-90): the
+    validated metric catalog as the overwrite payload — clear+insert becomes
+    one atomic overwrite of the 4-row dim."""
+    return star.build_dim_metric(spark)
+
+
+@register(
+    "dim_shift_sync",
+    f"""
+WITH {NORMALIZED_CTE},
+agents AS (SELECT DISTINCT AgentID FROM normalized),
+days AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS d)
+SELECT a.AgentID,
+       CAST(d AS DATE) AS LocalDate,
+       CAST(d AS TIMESTAMP) + INTERVAL 9 HOURS AS ShiftStartLocal,
+       CAST(d AS TIMESTAMP) + INTERVAL 17 HOURS AS ShiftEndLocal,
+       CAST(8 AS BIGINT) AS ShiftHours
+FROM agents a CROSS JOIN days
+""",
+)
+def q_dim_shift_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 DimShift sync (src_architecture_proposal.md:96-99): shift-rule
+    expansion (09:00-17:00) over agents × January 2024, the overwrite payload
+    for the shift dim. Dates broadcast; one narrow projection per pair."""
+    agents = normalized_fact(spark, sf_dir).select("AgentID").distinct()
+    dates = rollups.build_dim_date(spark, "2024-01-01", "2024-01-31").select("Date")
+    return star.build_dim_shift(agents, dates, start_hour=9, shift_hours=8)
