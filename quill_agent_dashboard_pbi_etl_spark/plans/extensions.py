@@ -171,14 +171,14 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/stopword/word-length heuristics →
     composite [0,1] score (the cheap pre-filter stage of a training-data
     pipeline)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = T.with_text_prep(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("token_count"),
+        T.token_count_prepped().alias("token_count"),
         T.punct_ratio(F.col("text")).alias("punct_ratio"),
-        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        T.mean_token_len(F.col("text")).alias("mean_token_len"),
-        T.quality_score(F.col("text")).alias("quality_score"),
+        T.stopword_ratio_prepped().alias("stopword_ratio"),
+        T.mean_token_len_prepped().alias("mean_token_len"),
+        T.quality_score_prepped(F.col("text")).alias("quality_score"),
     )
 
 
@@ -206,8 +206,8 @@ FROM scored
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via function-word marker hits (argmax, alphabetical
     tie-break, 'und' when nothing matches) compared to the labeled lang."""
-    docs = load_table(spark, sf_dir, "documents")
-    pred = T.lang_id(F.col("text"))
+    docs = T.with_text_prep(load_table(spark, sf_dir, "documents"))
+    pred = T.lang_id_prepped()
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
