@@ -1272,3 +1272,38 @@ def q_dim_shift_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     agents = normalized_fact(spark, sf_dir).select("AgentID").distinct()
     dates = rollups.build_dim_date(spark, "2024-01-01", "2024-01-31").select("Date")
     return star.build_dim_shift(agents, dates, start_hour=9, shift_hours=8)
+
+
+@register(
+    "asof_last_purchase",
+    """
+SELECT l.event_id, l.user_id, l.event_type, l.ts,
+       r."value" AS last_purchase_value,
+       r.ts AS last_purchase_ts
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): annotate every event with the user's
+    most recent purchase value at or before its timestamp — point-in-time
+    state without a range-join explosion. Oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("last_purchase_value"),
+        F.col("ts").alias("last_purchase_ts"),
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "event_type", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["last_purchase_value", "last_purchase_ts"],
+    )

@@ -134,3 +134,29 @@ def test_star_join_composite_shift_key(spark):
     r = joined.collect()[0]
     assert r.ShiftHours == 8
     assert str(r.ShiftStartLocal) == "2024-01-01 09:00:00"
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right_ts <= left_ts; equality matches; no
+    prior row -> null; keys never cross."""
+    import datetime as dt
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.asof import asof_join
+
+    t = lambda h: dt.datetime(2024, 1, 15, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "a", t(9)), (2, "a", t(10)), (3, "a", t(12)), (4, "b", t(10))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", t(10), 100.0), ("a", t(11), 200.0), ("b", t(11), 999.0)],
+        "k string, rts timestamp, v double",
+    )
+    out = {
+        r.id: r.v
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["v"]).collect()
+    }
+    assert out[1] is None        # 09:00 — no prior snapshot
+    assert out[2] == 100.0       # 10:00 — exact-ts snapshot matches
+    assert out[3] == 200.0       # 12:00 — latest prior (11:00), not first
+    assert out[4] is None        # key b: snapshot is later than the event
