@@ -1307,3 +1307,50 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="p_ts",
         value_cols=["last_purchase_value", "last_purchase_ts"],
     )
+
+
+@register(
+    "events_in_shift",
+    f"""
+WITH {NORMALIZED_CTE},
+agents AS (SELECT DISTINCT AgentID FROM normalized),
+days AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS d),
+shifts AS (
+  SELECT a.AgentID,
+         CAST(d AS TIMESTAMP) + INTERVAL 9 HOURS AS ShiftStartLocal,
+         CAST(d AS TIMESTAMP) + INTERVAL 17 HOURS AS ShiftEndLocal
+  FROM agents a CROSS JOIN days
+)
+SELECT n.EventID, n.AgentID, n.MetricID, n.EventTime,
+       s.ShiftStartLocal, s.ShiftEndLocal
+FROM normalized n
+JOIN shifts s
+  ON n.AgentID = s.AgentID
+ AND n.EventTime >= s.ShiftStartLocal
+ AND n.EventTime <  s.ShiftEndLocal
+""",
+)
+def q_events_in_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/intervals.py): events matched to
+    the 09:00-17:00 shift window covering their event time — the bucketized
+    range join (equi-join on (agent, day-bucket) + residual range filter),
+    never a nested-loop range join. Oracle: plain inequality join in DuckDB."""
+    from ..operators.intervals import interval_join
+
+    fact = normalized_fact(spark, sf_dir)
+    agents = fact.select("AgentID").distinct()
+    dates = rollups.build_dim_date(spark, "2024-01-01", "2024-01-31").select("Date")
+    shifts = star.build_dim_shift(agents, dates, start_hour=9, shift_hours=8).select(
+        "AgentID", "ShiftStartLocal", "ShiftEndLocal"
+    )
+    return interval_join(
+        fact.select("EventID", "AgentID", "MetricID", "EventTime"),
+        shifts,
+        key_cols=["AgentID"],
+        ts_col="EventTime",
+        start_col="ShiftStartLocal",
+        end_col="ShiftEndLocal",
+        bucket="DAY",
+    ).select(
+        "EventID", "AgentID", "MetricID", "EventTime", "ShiftStartLocal", "ShiftEndLocal"
+    )

@@ -160,3 +160,39 @@ def test_asof_join_semantics(spark):
     assert out[2] == 100.0       # 10:00 — exact-ts snapshot matches
     assert out[3] == 200.0       # 12:00 — latest prior (11:00), not first
     assert out[4] is None        # key b: snapshot is later than the event
+
+
+def test_interval_join_semantics(spark):
+    """Half-open containment, bucket-boundary crossing, per-key isolation."""
+    import datetime as dt
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.intervals import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2024, 1, 15, 9, 0)),   # == start: included
+            (2, "a", dt.datetime(2024, 1, 15, 17, 0)),  # == end: excluded
+            (3, "a", dt.datetime(2024, 1, 16, 1, 0)),   # overnight interval tail
+            (4, "b", dt.datetime(2024, 1, 15, 10, 0)),  # key b has no interval
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 15, 9, 0), dt.datetime(2024, 1, 15, 17, 0)),
+            ("a", dt.datetime(2024, 1, 15, 22, 0), dt.datetime(2024, 1, 16, 2, 0)),
+        ],
+        "k string, start timestamp, end timestamp",
+    )
+    got = sorted(
+        r.id for r in interval_join(left, right, ["k"], "ts", "start", "end").collect()
+    )
+    assert got == [1, 3]  # boundary-end excluded; cross-midnight matched
+
+    inc = sorted(
+        r.id
+        for r in interval_join(
+            left, right, ["k"], "ts", "start", "end", inclusive_end=True
+        ).collect()
+    )
+    assert inc == [1, 2, 3]
