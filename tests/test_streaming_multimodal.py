@@ -189,3 +189,55 @@ def test_stateful_session_close(spark, tmp_path):
         ("42", "2024-01-15 14:00:00", 1, "ALOWARE:3", "ALOWARE:3"),
         ("7", "2024-01-15 12:05:00", 1, "ALOWARE:4", "ALOWARE:4"),
     }
+
+
+def test_streaming_windowed_rollup(spark, tmp_path):
+    """§2.7 windowed aggregation: tumbling 1-hour event-time windows with a
+    watermark, append mode — closed windows emit exactly once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import normalize_webhooks
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        envelopes_to_webhook_shape,
+        read_envelope_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "rollup"
+    ckpt = tmp_path / "ckpt"
+
+    with open(landing / "b1.json", "w") as f:
+        for eid, created in (
+            (1, "2024-01-15T09:10:00"),
+            (2, "2024-01-15T09:40:00"),
+            (3, "2024-01-15T10:20:00"),
+            (4, "2024-01-15T13:00:00"),  # advances watermark past 09:00+1h+delay
+        ):
+            f.write(_json.dumps(_envelope(eid, created=created)) + "\n")
+
+    fact = normalize_webhooks(
+        envelopes_to_webhook_shape(read_envelope_stream(spark, str(landing)))
+    )
+    agg = (
+        fact.withWatermark("EventTime", "10 minutes")
+        .groupBy(F.window("EventTime", "1 hour").alias("w"), "AgentID")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "AgentID", "n")
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, b: df.write.mode("append").parquet(str(out))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(str(r.window_start), r.n) for r in spark.read.parquet(str(out)).collect()}
+    # 09:00 and 10:00 windows closed (watermark 12:50); 13:00 still open.
+    assert got == {("2024-01-15 09:00:00", 2), ("2024-01-15 10:00:00", 1)}
