@@ -98,3 +98,92 @@ def synthesize_assets_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.lit("application/octet-stream").alias("mime_type"),
     )
+
+
+# Output schema of the resize stage: binary out, new dims alongside.
+RESIZED_ASSET_SCHEMA = (
+    "asset_id long, modality string, content binary, width int, height int, "
+    "byte_len long"
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize (PIL.Image.resize in
+    production): re-derives a payload of size proportional to the target
+    area from the source bytes — stable, shape-correct, no codecs."""
+    if not payload:
+        return b""
+    target_len = max(1, (width * height) // 64)
+    reps = target_len // len(payload) + 1
+    return (payload * reps)[:target_len]
+
+
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize every image asset via mapInPandas; non-image rows pass through
+    untouched. Binary in → binary out: the stage composes with further
+    asset transforms without leaving Arrow."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, modality, content in zip(
+                pdf["asset_id"], pdf["modality"], pdf["content"]
+            ):
+                payload = bytes(content) if content is not None else b""
+                if modality == "image":
+                    payload = fake_resize(payload, width, height)
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "modality": modality,
+                        "content": payload,
+                        "width": width if modality == "image" else 0,
+                        "height": height if modality == "image" else 0,
+                        "byte_len": len(payload),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(process, RESIZED_ASSET_SCHEMA)
+
+
+# One row per sampled frame — the explode-shaped stage.
+FRAME_SAMPLE_SCHEMA = (
+    "asset_id long, frame_index int, frame_sha256 string, frame_bytes long"
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Sample every Nth 'frame' of video/audio assets via mapInPandas
+    (pyav/ffmpeg keyframe extraction in production; here each 64-byte payload
+    slice stands in for a frame). Emits one row per sampled frame — the
+    1→many shape a real frame sampler has, so downstream per-frame feature
+    extraction parallelizes over frames, not videos."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, modality, content in zip(
+                pdf["asset_id"], pdf["modality"], pdf["content"]
+            ):
+                if modality not in ("video", "audio") or content is None:
+                    continue
+                payload = bytes(content)
+                n_frames = max(1, len(payload) // 64)
+                for j, idx in enumerate(range(0, n_frames, every_n)):
+                    if j >= max_frames:
+                        break
+                    frame = payload[idx * 64 : (idx + 1) * 64]
+                    out.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_index": idx,
+                            "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                            "frame_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "frame_index", "frame_sha256", "frame_bytes"]
+            )
+
+    return assets.mapInPandas(process, FRAME_SAMPLE_SCHEMA)

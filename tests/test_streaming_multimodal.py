@@ -241,3 +241,33 @@ def test_streaming_windowed_rollup(spark, tmp_path):
     got = {(str(r.window_start), r.n) for r in spark.read.parquet(str(out)).collect()}
     # 09:00 and 10:00 windows closed (watermark 12:50); 13:00 still open.
     assert got == {("2024-01-15 09:00:00", 2), ("2024-01-15 10:00:00", 1)}
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "img " * 40), (1, "aud " * 80), (2, "vid " * 300), (3, "x")],
+        "doc_id long, text string",
+    )
+    assets = synthesize_assets_from_documents(docs)  # 0=image 1=audio 2=video
+
+    resized = {r.asset_id: r for r in resize_images(assets, 64, 64).collect()}
+    assert len(resized) == 4  # non-images pass through
+    assert resized[0].width == 64 and resized[0].byte_len == (64 * 64) // 64
+    assert resized[1].width == 0  # audio untouched
+    assert bytes(resized[1].content) == ("aud " * 80).encode()
+    # deterministic: same source + target → same payload
+    again = {r.asset_id: r for r in resize_images(assets, 64, 64).collect()}
+    assert bytes(again[0].content) == bytes(resized[0].content)
+
+    frames = sample_frames(assets, every_n=2, max_frames=3).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert 0 not in by_asset  # images produce no frames
+    assert {r.frame_index for r in by_asset[2]} == {0, 2, 4}  # every 2nd, capped
+    assert all(r.frame_bytes <= 64 for r in frames)
