@@ -1354,3 +1354,161 @@ def q_events_in_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "EventID", "AgentID", "MetricID", "EventTime", "ShiftStartLocal", "ShiftEndLocal"
     )
+
+
+@register(
+    "tpch_q2_cheapest_supplier",
+    """
+SELECT p_partkey, p_brand, s_name, best_price FROM (
+  SELECT l.l_partkey AS p_partkey, p.p_brand, s.s_name,
+         CAST(l.l_extendedprice AS DOUBLE) AS best_price,
+         row_number() OVER (PARTITION BY l.l_partkey
+                            ORDER BY l.l_extendedprice, l.l_suppkey) AS rn
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE p.p_size >= 30
+) WHERE rn = 1
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost-per-group: the cheapest observed supplier
+    price per part (window rank over the part partition, deterministic
+    supplier tie-break) — the correlated-min-subquery pattern as one window,
+    no re-join against the aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey").orderBy("l_extendedprice", "l_suppkey")
+    return (
+        li.join(p.select("p_partkey", "p_brand"), li["l_partkey"] == F.col("p_partkey"))
+        .join(broadcast(s), li["l_suppkey"] == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.col("l_extendedprice").cast("double").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_nation_trade_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation trade lattice: supplier-nation x
+    customer-nation revenue by year, excluding domestic trade. Nation dims
+    broadcast twice under different aliases; the fact side shuffles once per
+    fact-fact join and once for the final rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    cust_n = broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(supp_n, F.col("s_nationkey") == F.col("snk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cust_n, F.col("c_nationkey") == F.col("cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_suppliers",
+    """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%ar%'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 100
+)
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested semi-join: suppliers who moved > 100 units of
+    any '%ar%' part. The inner aggregate runs first; its small distinct key
+    list broadcasts into a left-semi join — the IN-subquery as a plan, never
+    a per-row lookup."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ar%")).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    movers = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return s.join(broadcast(movers), "s_suppkey", "left_semi")
+
+
+@register(
+    "frequent_tokens",
+    f"""
+SELECT token, doc_freq FROM (
+  SELECT token, count(*) AS doc_freq,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (
+    SELECT DISTINCT doc_id, unnest(list_distinct(str_split({{_NORM}}, ' '))) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY token
+) WHERE rn <= 20
+""".replace("{_NORM}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+)
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-20 tokens by document frequency (exact). Explode
+    distinct per-doc tokens -> count -> global top-k; only (token, count)
+    pairs shuffle, and the final top-20 is a single-reducer take over
+    partial top-k. At 100 TB swap exact for count-min + a candidate pass."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as tok_arr
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tok_arr(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "doc_freq")
+    )
