@@ -197,3 +197,113 @@ def near_dup_by_cosine(
             "cosine_sim",
         )
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF coarse centroids with distributed Lloyd's iterations.
+
+    Each iteration: broadcast the (tiny) centroid set, assign every corpus
+    vector to its nearest cell (one narrow pass), recompute each centroid as
+    the element-wise mean via posexplode → groupBy(cell, pos) — the mean
+    never materializes vectors on the driver except the n_cells × dim model
+    itself, which IS driver-sized state by definition. Deterministic
+    seeding (lowest ids) and tie-breaks make the model reproducible.
+    A cell that loses all members drops out (standard k-means shrinkage).
+    """
+    cents = corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        assigned = assign_ivf_cells(corpus, cents, id_col, vec_col)
+        new = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s.v
+                ).alias(vec_col)
+            )
+        )
+        # Centroids are model state: pin them locally to cut the iteration
+        # lineage (n_cells x dim doubles — trivially driver-sized).
+        rows = [(r["centroid_id"], list(r[vec_col])) for r in new.collect()]
+        cents = spark.createDataFrame(
+            rows, f"centroid_id long, {vec_col} array<double>"
+        )
+    return cents
+
+
+def assign_ivf_cells_multi(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Like assign_ivf_cells but keeps the ``n_probe`` nearest cells per
+    vector — the query-side recall knob (each extra probe joins one more
+    cell's worth of candidates)."""
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    cents = centroids.select(
+        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = v.crossJoin(broadcast(cents)).withColumn(
+        "sim", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select(id_col, "centroid_id", "vec")
+    )
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end trained IVF: k-means centroids → corpus assigned nprobe=1 →
+    queries probe their ``n_probe`` nearest cells → exact cosine within the
+    probed cells only. The scan-reduction ANN path with a learned index."""
+    cents = train_ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
+    c_assigned = assign_ivf_cells(corpus, cents, id_col, vec_col)
+    q_assigned = assign_ivf_cells_multi(queries, cents, n_probe, id_col, vec_col)
+    scored = (
+        c_assigned.alias("c")
+        .join(
+            broadcast(q_assigned.alias("q")),
+            on=[
+                F.col("c.centroid_id") == F.col("q.centroid_id"),
+                F.col(f"c.{id_col}") != F.col(f"q.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(cosine(F.col("q.vec"), F.col("c.vec")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )

@@ -497,3 +497,13 @@ def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return topk_vs_query_matrix(emb, query_rows, k=5)
+
+
+@register("ann_ivf_trained_topk")  # approximate (learned index) — rows-only
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF top-k: k-means centroids (3 distributed Lloyd's
+    iterations), nprobe=2 — the iterative-algorithm + learned-index ANN path
+    (operators/similarity.py ivf_topk_trained)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_trained(emb, queries, n_cells=8, n_probe=2, iters=3, k=5)

@@ -99,3 +99,31 @@ def test_fingerprint_token_order_invariant(spark):
     )
     fps = [r.fp for r in df.select(T.fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_trained_ivf_beats_or_matches_fixed_centroids(spark):
+    """k-means-trained IVF with nprobe=2 must achieve reasonable recall@5
+    against the exact brute-force ranking (learned cells group the labeled
+    clusters, so most true neighbors share the query's probed cells)."""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk_trained(
+            emb, queries, n_cells=8, n_probe=2, iters=3, k=5
+        ).collect()
+    }
+    recall = len(exact & trained) / len(exact)
+    assert recall >= 0.5, f"recall@5 {recall:.2f}"
+    # and every query still returns k (or cell-limited) deterministic rows
+    assert len({q for q, _ in trained}) == 10
