@@ -38,10 +38,19 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_delta",
     "tpch_q9_profit_by_nation",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q7_nation_trade_volume",
     "tpch_q16_supplier_part_variety",
     "tpch_q18_large_volume_customers",
+    "tpch_q20_part_suppliers",
     "region_revenue",
     "top_customers_per_nation",
+    "asof_last_purchase",
+    "events_in_shift",
+    "value_percentiles",
+    "cumulative_agent_counts",
+    "multi_source_union",
+    "frequent_tokens",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
