@@ -1512,3 +1512,121 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("token", "doc_freq")
     )
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    """
+SELECT c_custkey, c_name, n_name, revenue FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         row_number() OVER (ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) DESC, c.c_custkey) AS rn
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+) WHERE rn <= 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue: top-20 customers by revenue
+    lost to returns. The returnflag filter pushes into the lineitem scan;
+    the global top-20 runs as partial top-k per partition before the final
+    single-reducer take (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+SELECT o_orderpriority,
+       sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
+       sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority breakdown: conditional CASE aggregation over
+    a date-bounded fact join — both counters come out of ONE pass (no
+    self-join per condition)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned_count"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("kept_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue_share",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)
+         / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 6
+       ) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share: conditional numerator over a
+    month of shipments, part dim broadcast, one global aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)")))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
