@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_delta",
     "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue_share",
     "tpch_q2_cheapest_supplier",
     "tpch_q7_nation_trade_volume",
     "tpch_q16_supplier_part_variety",
