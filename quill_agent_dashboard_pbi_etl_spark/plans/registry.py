@@ -1630,3 +1630,124 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: aggregate view, global-max scalar
+    'subquery' as a rank-1 window over the (small) aggregate — ties all kept,
+    exactly the SQL's = max semantics."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = revenue.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        broadcast(top.select("supplier_no", "total_revenue")),
+        s["s_suppkey"] == F.col("supplier_no"),
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT round(CAST(sum(l.l_extendedprice) / 7.0 AS DOUBLE), 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+WHERE l.l_quantity < (
+  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue: the correlated per-part average
+    becomes an aggregate joined back on partkey (computed once per part, not
+    once per row — the decorrelated plan Catalyst would also produce)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresholds, li["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round((F.sum("l_extendedprice") / 7.0).cast("double"), 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+WITH positive AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+),
+active AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+       count(*) AS numcust,
+       round(CAST(sum(c.c_acctbal) AS DOUBLE), 6) AS totacctbal
+FROM customer c, positive
+WHERE c.c_acctbal > positive.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM active a WHERE a.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle wealthy customers (above-average balance, fewer
+    than 5 orders): global-average scalar subquery (broadcast single row via
+    crossJoin) + NOT EXISTS as a left-anti join against the pre-aggregated
+    active-customer key list, grouped by nation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("c_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal").cast("double"), 6).alias("totacctbal"),
+        )
+    )
