@@ -256,6 +256,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -264,9 +265,11 @@ def ngram_jaccard_pairs(
     (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded to 6 dp for
     cross-engine hash stability.
 
-    Scale: the only quadratic danger is a stop-shingle appearing in most docs;
-    production config should drop shingles with document frequency above a cap
-    (same trick as stop-word removal). Kept exact here for oracle parity.
+    Scale: the only quadratic danger is a stop-shingle appearing in most
+    docs — its bucket self-joins quadratically. ``max_doc_freq`` drops such
+    shingles from CANDIDATE GENERATION only (set sizes stay exact), turning
+    reported Jaccard into a tight lower bound — the standard stop-shingle
+    cap. Leave ``None`` for the exact/oracle-checked mode.
 
     The self-join runs on an 8-byte ``xxhash64`` of the shingle instead of the
     shingle string — same pair counts (collisions are ~2^-64), much cheaper
@@ -285,10 +288,19 @@ def ngram_jaccard_pairs(
         .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    index = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle_h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle_h")
+        )
+        index = sh.join(rare, "shingle_h", "left_semi")
     pairs = (
-        sh.alias("l")
+        index.alias("l")
         .join(
-            sh.alias("r"),
+            index.alias("r"),
             on=[
                 F.col("l.shingle_h") == F.col("r.shingle_h"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),

@@ -1751,3 +1751,21 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal").cast("double"), 6).alias("totacctbal"),
         )
     )
+
+
+@register("value_percentiles_approx")  # t-digest sketch — rows-only check
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of value_percentiles: ``approx_percentile``
+    (mergeable sketch, map-side combine, bounded memory per group) — same
+    plan shape as the exact query, no full-group materialization."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("pcts"),
+        F.count("*").alias("n"),
+    ).select(
+        "event_type",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
+        F.col("pcts")[2].alias("p99"),
+        "n",
+    )

@@ -127,3 +127,24 @@ def test_trained_ivf_beats_or_matches_fixed_centroids(spark):
     assert recall >= 0.5, f"recall@5 {recall:.2f}"
     # and every query still returns k (or cell-limited) deterministic rows
     assert len({q for q, _ in trained}) == 10
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """The stop-shingle cap must only shrink the candidate set: capped pairs
+    are a subset of exact pairs, and pairs not touching capped shingles keep
+    identical jaccard values."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import dedup
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9  # lower bound, never inflated
