@@ -1769,3 +1769,224 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[2].alias("p99"),
         "n",
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+WITH sales AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END)
+             / sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM sales GROUP BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: CHINA's share of supplier revenue into
+    ASIA customers by year — conditional numerator over a 6-table join, both
+    nation aliases and region broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_n = broadcast(
+        n.join(broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("cnk")
+        )
+    )
+    supp_n = broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cust_n, F.col("c_nationkey") == F.col("cnk"))
+        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(supp_n, F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "CHINA", volume).otherwise(F.lit(0).cast("decimal(18,6)")))
+                    / F.sum(volume)
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+WITH nation_value AS (
+  SELECT sn.n_name, s.s_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS supp_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  GROUP BY sn.n_name, s.s_suppkey
+)
+SELECT nv.n_name, nv.s_suppkey, CAST(nv.supp_value AS DOUBLE) AS supp_value
+FROM nation_value nv
+JOIN (SELECT n_name, avg(supp_value) AS nation_avg FROM nation_value GROUP BY n_name) na
+  ON na.n_name = nv.n_name
+WHERE nv.supp_value > na.nation_avg
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: suppliers trading strictly above their
+    nation's average — the correlated per-group threshold decorrelates into a
+    broadcast-joined aggregate over the same grouped values (scale-invariant,
+    unlike a global fraction, which degenerates as supplier count grows)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    value = (
+        li.join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supp_value"))
+    )
+    nation_avg = value.groupBy(F.col("n_name").alias("na_name")).agg(
+        F.avg("supp_value").alias("nation_avg")
+    )
+    return (
+        value.join(broadcast(nation_avg), value["n_name"] == F.col("na_name"))
+        .filter(F.col("supp_value") > F.col("nation_avg"))
+        .select("n_name", "s_suppkey", F.col("supp_value").cast("double").alias("supp_value"))
+    )
+
+
+@register(
+    "tpch_q13_order_count_distribution",
+    """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count histogram: LEFT join keeps
+    zero-order customers (count(col) skips the null join rows), then a
+    second aggregation over the counts — the two-level distribution shape."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join: OR-of-AND groups across
+    both join sides. The per-side conjuncts (quantity ranges on lineitem,
+    brand/size on part) cannot individually push below the join, but the
+    OR-tree folds into the join condition so no candidate row survives past
+    the build side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(broadcast(p), (li["l_partkey"] == p["p_partkey"]) & cond)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_sole_late_supplier",
+    """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM per_os x
+JOIN per_order po ON po.l_orderkey = x.l_orderkey
+JOIN supplier s ON s.s_suppkey = x.l_suppkey
+WHERE x.was_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+GROUP BY s.s_name
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-late-supplier wait counts: the EXISTS /
+    NOT-EXISTS pair over other suppliers' lineitems decorrelates into two
+    grouped aggregates over (order, supplier) lateness — one pass over
+    lineitem instead of two correlated self-joins."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("was_late").alias("n_late")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_os.filter(F.col("was_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(broadcast(s), per_os["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
