@@ -46,6 +46,14 @@ HEADLINE = [
     "tpch_q16_supplier_part_variety",
     "tpch_q18_large_volume_customers",
     "tpch_q20_part_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_customers",
     "region_revenue",
     "top_customers_per_nation",
     "asof_last_purchase",

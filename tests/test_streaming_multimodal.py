@@ -191,6 +191,99 @@ def test_stateful_session_close(spark, tmp_path):
     }
 
 
+def test_stateful_session_close_v2(spark, tmp_path):
+    """transformWithStateInPandas (state v2 + RocksDB store) gap sessions:
+    same contract as the v1 operator — in-batch close, timer close, and
+    cross-batch close through the checkpoint.
+
+    The state-v2 wire protocol is protobuf-based; skipped where the Python
+    env lacks the protobuf package (as in this dev container)."""
+    import json as _json
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.stateful import (
+        close_gap_sessions_v2,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "sessions"
+    ckpt = tmp_path / "ckpt"
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        def run_batch():
+            from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+                normalize_webhooks,
+            )
+            from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+                envelopes_to_webhook_shape,
+            )
+
+            stream = read_envelope_stream(spark, str(landing))
+            fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
+            sessions = close_gap_sessions_v2(fact, gap_minutes=30)
+            q = sessions.writeStream.foreachBatch(
+                lambda df, _b: df.write.mode("append").parquet(str(out))
+            ).outputMode("update").option(
+                "checkpointLocation", str(ckpt)
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(180)
+
+        with open(landing / "b1.json", "w") as f:
+            for eid, created, owner in (
+                (1, "2024-01-15T12:00:00", 42),
+                (2, "2024-01-15T12:10:00", 42),
+                (3, "2024-01-15T14:00:00", 42),
+                (4, "2024-01-15T12:05:00", 7),
+            ):
+                env = _envelope(eid, created=created)
+                body = _json.loads(env["body"])
+                body["body"]["owner_id"] = owner
+                env["body"] = _json.dumps(body)
+                f.write(_json.dumps(env) + "\n")
+        run_batch()
+
+        got = {
+            (r.AgentID, str(r.session_start), r.n_events, r.first_event, r.last_event)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert got == {
+            ("42", "2024-01-15 12:00:00", 2, "ALOWARE:1", "ALOWARE:2"),
+            ("7", "2024-01-15 12:05:00", 1, "ALOWARE:4", "ALOWARE:4"),
+        }
+
+        # Cross-batch: agent 42 at 16:00 closes its 14:00 session via the gap
+        # rule, with state and timers restored from the RocksDB checkpoint.
+        with open(landing / "b2.json", "w") as f:
+            f.write(_json.dumps(_envelope(5, created="2024-01-15T16:00:00")) + "\n")
+        run_batch()
+
+        got = {
+            (r.AgentID, str(r.session_start), r.n_events, r.first_event, r.last_event)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert got == {
+            ("42", "2024-01-15 12:00:00", 2, "ALOWARE:1", "ALOWARE:2"),
+            ("42", "2024-01-15 14:00:00", 1, "ALOWARE:3", "ALOWARE:3"),
+            ("7", "2024-01-15 12:05:00", 1, "ALOWARE:4", "ALOWARE:4"),
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def test_streaming_windowed_rollup(spark, tmp_path):
     """§2.7 windowed aggregation: tumbling 1-hour event-time windows with a
     watermark, append mode — closed windows emit exactly once."""
