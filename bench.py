@@ -28,6 +28,7 @@ HEADLINE = [
     "ledger_gate",
     "roster_gate",
     "daily_rollup",
+    "salted_metric_rollup",
     "pace_color",
     "star_join_enriched",
     "sessionize_events",
@@ -99,6 +100,7 @@ def main() -> None:
     # single-JVM timings are noisy from GC/compilation — min is the standard
     # steady-state estimator and both runs execute end-to-end on sf_dir).
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -110,6 +112,10 @@ def main() -> None:
                 best = min(best, time.perf_counter() - start)
                 spark.catalog.clearCache()
             timings[name] = round(best, 3)
+            # Untimed extra pass for the result cardinality — a cross-round
+            # drift check (a perf "win" that changes the row count is a bug).
+            rows[name] = fn(spark, sf_dir).count()
+            spark.catalog.clearCache()
         except Exception as exc:  # a broken query must not hide the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -119,6 +125,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rows": rows,
         "sf": sf,
     }
     if errors:

@@ -21,7 +21,7 @@ from pyspark.sql.functions import broadcast
 
 from ..functions import text as T
 from ..functions.adapter import normalize_webhooks
-from ..operators import dedup, gates, rollups, similarity, star
+from ..operators import dedup, gates, rollups, similarity, skew, star
 from ..sources.readers import load_table
 from ..sources.webhook_mapping import (
     NORMALIZED_CTE,
@@ -410,6 +410,29 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 FactDailyMetric: events per (agent, local date, metric) — the core
     dashboard rollup the reference delegates to DAX."""
     return rollups.daily_rollup(normalized_fact(spark, sf_dir))
+
+
+@register(
+    "salted_metric_rollup",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized GROUP BY MetricID
+""",
+)
+def q_salted_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 rollup over the 2-value MetricID key via two-phase salted
+    aggregation (operators/skew.py). MetricID is the engine's most extreme
+    hot key — the whole fact table lands on two reduce groups — so this is
+    the shape where a single reducer's state overwhelms one task at 100 TB.
+    Result is identical to the plain groupBy (oracle checks it); the salt
+    only spreads reduce-side load."""
+    return skew.salted_agg_count(
+        normalized_fact(spark, sf_dir),
+        ["MetricID"],
+        buckets=32,
+        count_alias="EventCount",
+    )
 
 
 @register(
