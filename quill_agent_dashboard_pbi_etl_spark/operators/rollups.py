@@ -126,6 +126,13 @@ def time_filter(date_key: Column, preset: str, anchor: Column) -> Column:
     return presets[preset]
 
 
+def custom_time_filter(date_key: Column, start: str, end: str) -> Column:
+    """A7 'Custom' range (docs/quill_dashboard_schema_design_doc.md:139-146):
+    inclusive [start, end] on the business-date key. String comparison is
+    correct for yyyy-MM-dd keys and keeps the predicate partition-prunable."""
+    return (date_key >= F.lit(start)) & (date_key <= F.lit(end))
+
+
 def build_dim_date(
     spark: SparkSession, start: str = "2019-01-01", end: str = "2029-12-31"
 ) -> DataFrame:

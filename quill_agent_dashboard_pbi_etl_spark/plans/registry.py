@@ -644,6 +644,53 @@ def q_time_filter_last_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_filter_this_month",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized
+WHERE strptime(FactDateKey, '%Y-%m-%d')::DATE >= date_trunc('month', DATE '{NOW_ANCHOR_DATE}')
+  AND strptime(FactDateKey, '%Y-%m-%d')::DATE <= DATE '{NOW_ANCHOR_DATE}'
+GROUP BY MetricID
+""",
+)
+def q_time_filter_this_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 'This Month' (month start..anchor) filter + metric rollup —
+    completes the six relative presets."""
+    fact = normalized_fact(spark, sf_dir)
+    anchor = F.to_date(F.lit(NOW_ANCHOR_DATE))
+    return (
+        fact.filter(rollups.time_filter(F.col("FactDateKey"), "this_month", anchor))
+        .groupBy("MetricID")
+        .agg(F.count("*").alias("EventCount"))
+    )
+
+
+@register(
+    "time_filter_custom_range",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID, count(*) AS EventCount
+FROM normalized
+WHERE FactDateKey >= '2024-01-08' AND FactDateKey <= '2024-01-12'
+GROUP BY MetricID
+""",
+)
+def q_time_filter_custom_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 'Custom' range: inclusive [start, end] on the business-date key —
+    the seventh filter mode from the dashboard spec. String comparison on
+    yyyy-MM-dd keys stays partition-prunable at the scan."""
+    fact = normalized_fact(spark, sf_dir)
+    return (
+        fact.filter(
+            rollups.custom_time_filter(F.col("FactDateKey"), "2024-01-08", "2024-01-12")
+        )
+        .groupBy("MetricID")
+        .agg(F.count("*").alias("EventCount"))
+    )
+
+
 @register("approx_distinct_agents")  # HLL sketch — engine-native, rows-only
 def q_approx_distinct_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++): distinct agents per

@@ -40,6 +40,15 @@ def test_time_filter_presets(spark):
     with pytest.raises(ValueError):
         rollups.time_filter(F.col("FactDateKey"), "nope", anchor)
 
+    # A7 'Custom': inclusive range on the string date key
+    custom = {
+        r.FactDateKey
+        for r in df.filter(
+            rollups.custom_time_filter(F.col("FactDateKey"), "2024-01-14", "2024-01-19")
+        ).collect()
+    }
+    assert custom == {"2024-01-14", "2024-01-15", "2024-01-19"}
+
 
 def test_color_classification_boundaries(spark):
     df = spark.createDataFrame(
