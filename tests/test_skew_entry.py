@@ -33,6 +33,41 @@ def test_salted_join_matches_plain_join(spark):
     assert ("a2", None) in got
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.sampled_from(["hot", "warm", "a", "b", "c", "missing-from-dim"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    fact_keys=st.lists(_keys, min_size=1, max_size=30),
+    hot_list=st.lists(_keys, min_size=1, max_size=3, unique=True),
+    buckets=st.sampled_from([1, 2, 5]),
+)
+def test_salted_join_equivalence_property(spark, fact_keys, hot_list, buckets):
+    """salted_join_hot_keys must be row-for-row equivalent to the plain left
+    join for ANY hot-key list (including keys absent from the data or the
+    dim) and any bucket count — the salt is a physical-layout knob only."""
+    facts = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "AgentID string, v long"
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("warm", "W"), ("a", "A"), ("b", "B")],
+        "AgentID string, AgentName string",
+    )
+    out = sorted(
+        (r.AgentID, r.v, r.AgentName)
+        for r in skew.salted_join_hot_keys(
+            facts, dim, "AgentID", hot_list, buckets=buckets
+        ).collect()
+    )
+    plain = sorted(
+        (r.AgentID, r.v, r.AgentName) for r in facts.join(dim, "AgentID", "left").collect()
+    )
+    assert out == plain
+
+
 def test_entry_contract(spark):
     import importlib.util
 
