@@ -1,0 +1,157 @@
+"""Duplicate-cluster resolution and deterministic corpus sampling.
+
+North-star extensions (BASELINE.json): the stage AFTER near-dup pair
+generation in a training-data pipeline. Pair emitters (``dedup.ngram_jaccard_
+pairs``, ``dedup.minhash_lsh_pairs``, ...) produce an edge list; turning that
+into "keep exactly one document per duplicate group" requires the connected
+components of the pair graph, then a canonical-survivor pick per component.
+
+Scale posture (100 TB):
+- ``connected_components`` is iterative min-label propagation over DataFrame
+  joins — every round is one equi-join + one groupBy (shuffle on node id),
+  never a cross join, and lineage is truncated per round with
+  ``localCheckpoint`` so the plan does not grow with iterations. Near-dup
+  graphs are dense little cliques (diameter 1-3), so the loop converges in
+  2-4 rounds; ``max_iter`` caps pathological chains. On a real cluster the
+  same loop runs with checkpointing to HDFS/S3; the label frontier is tiny
+  relative to the corpus (only docs that appear in some pair).
+- Sampling is HASH-based, not RNG-based: ``md5(key) % 100 < pct`` is
+  reproducible across runs, engines, partitionings and retries — the only
+  sampling discipline that is auditable at 100 TB (and the reason it keeps a
+  DuckDB oracle; ``df.sample()`` seeds are engine-private).
+
+No reference parity row — the reference (an event-ETL service) has nothing
+like this; see SURVEY.md §7 north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Min-label propagation: returns ``(node, cluster_id)`` where cluster_id
+    is the smallest node id in the node's connected component.
+
+    Each round: label[n] <- min(label[n], min over neighbors' labels), one
+    shuffle-join + one aggregation; stop when no label changed. Equivalent to
+    the "hash-to-min" MapReduce formulation; for near-dup graphs (cliques)
+    one round already converges, and the convergence check costs one count()
+    per round on the (small) label frontier only.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nlabel")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlabel").alias("min_neigh"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("min_neigh"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def attach_clusters(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Left-join component labels onto the full corpus; docs in no pair get a
+    singleton cluster (their own id). The components side is tiny relative to
+    the corpus (only duplicated docs), so Spark broadcasts it under AQE."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("__cid")
+    )
+    return docs.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("__cid"), F.col(id_col))
+    ).drop("__cid")
+
+
+def canonical_survivors(
+    clustered: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick ONE survivor per duplicate cluster: highest ``quality_col``,
+    ties broken by lowest id (deterministic). Emits the survivor row plus the
+    cluster size — one window over a shuffle keyed by cluster_id."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def hash_bucket(key: Column, modulus: int = 100) -> Column:
+    """Deterministic bucket in [0, modulus) from md5(key) — portable: DuckDB
+    ``('0x' || substr(md5(k),1,15))::BIGINT % modulus`` computes the same."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % modulus
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, pct: int
+) -> DataFrame:
+    """Keep ~pct% of rows, chosen by content hash of ``key_col`` — stable
+    across runs/engines/partitionings (unlike ``df.sample``)."""
+    return df.filter(hash_bucket(F.col(key_col)) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the 'data mixing' primitive of a
+    training pipeline (e.g. keep 80% en, 30% de, downsample the rest). The
+    rates map is a literal MAP expression, so no join and no shuffle: the
+    filter is evaluated row-local inside the scan stage and pushes the
+    stratum column read down to Parquet."""
+    pairs = []
+    for k, v in sorted(rates.items()):
+        pairs += [F.lit(k), F.lit(int(v))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)),
+        F.lit(int(default_pct)),
+    )
+    return df.filter(hash_bucket(F.col(key_col)) < rate)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup, similarity
+from ..operators import clustering, dedup, similarity
 from ..sources.readers import load_table
 from .registry import register
 
@@ -483,3 +483,137 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk_trained(emb, queries, n_cells=8, n_probe=2, iters=3, k=5)
+
+
+# --------------------------------------------------------------------------- #
+# Duplicate-cluster resolution + deterministic sampling (operators/clustering)
+# --------------------------------------------------------------------------- #
+
+# Jaccard near-dup PAIRS as reusable CTEs (same semantics as the
+# dedup_ngram_jaccard oracle above; threshold 0.5).
+_JPAIRS_CTES = f"""
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) >= 0.5
+)
+""".strip()
+
+# Transitive closure of the pair graph; min reachable id = cluster id.
+_CLUSTER_CTES = f"""
+{_JPAIRS_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.node = e.b
+),
+comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY node),
+clustered AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+""".strip()
+
+
+def _jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return clustering.attach_clusters(
+        docs, clustering.connected_components(pairs)
+    )
+
+
+@register(
+    "dup_clusters",
+    f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT doc_id, cluster_id FROM clustered
+""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: connected components over exact Jaccard
+    near-dup pairs (iterative min-label propagation, operators/clustering.py);
+    singletons keep their own id. Oracle = recursive-CTE transitive closure."""
+    return _jaccard_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+
+
+@register(
+    "dedup_survivors",
+    f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM clustered
+)
+SELECT cluster_id, doc_id, n_chars, CAST(csize AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor pick: ONE doc per duplicate cluster (longest text,
+    ties to lowest id) + cluster size — the final 'emit deduped corpus' stage
+    of the near-dup pipeline."""
+    return clustering.canonical_survivors(_jaccard_clusters(spark, sf_dir)).select(
+        "cluster_id", "doc_id", "n_chars", "cluster_size"
+    )
+
+
+_SAMPLE_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} % 100 <
+      CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'zh' THEN 40 ELSE 25 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus sampling (training-data mixing):
+    md5-hash bucketing, reproducible across engines/runs/partitionings —
+    no RNG, no shuffle, filter evaluated inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clustering.stratified_sample(
+        docs, "doc_id", "lang", {"en": 80, "de": 50, "zh": 40}, default_pct=25
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_shards",
+    f"""
+SELECT {_SAMPLE_BUCKET_SQL} % 16 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY shard
+""",
+)
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: hash-assign docs to 16 shards and audit
+    per-shard row/char balance — the layout step before a partitioned write
+    (`df.repartition(N, shard).write`); hash sharding keeps shards balanced
+    regardless of source/date skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        clustering.hash_bucket(F.col("doc_id"), 16).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
