@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dup_clusters",
+    "stratified_sample",
+    "corpus_shards",
     "quality_scores",
     "lang_id",
     "ann_cosine_topk",

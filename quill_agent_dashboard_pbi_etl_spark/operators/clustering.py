@@ -46,7 +46,11 @@ def connected_components(
     per round on the (small) label frontier only.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the edge list ONCE: the caller's edge pipeline (e.g. the
+    # whole shingle→Jaccard join) must not re-execute on every round.
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -64,10 +68,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nlabel").alias("min_neigh"))
         )
-        new_labels = (
+        # Carry old + new label through one checkpoint so the convergence
+        # check is a cheap scan of materialized rows, not another join.
+        step = (
             labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("min_neigh"), F.col("label"))
                 ).alias("label"),
@@ -75,13 +82,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            step.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = step.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
