@@ -617,3 +617,79 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# Ratio CTE shared with the quality_scores oracle above, reused for gating.
+_QRATIOS_CTES = f"""
+stats AS (
+  SELECT doc_id,
+    CAST(CASE WHEN {_NORM} = '' THEN 0 ELSE len(str_split({_NORM}, ' ')) END AS BIGINT) AS n_tok,
+    length(text) AS n_chars_raw,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+    __STOP_HITS__ AS n_stop,
+    list_sum(list_transform(str_split({_NORM}, ' '), t -> length(t))) AS tok_len_sum
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN n_chars_raw > 0 THEN round(n_punct / CAST(n_chars_raw AS DOUBLE), 6) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN round(n_stop / CAST(n_tok AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN n_tok > 0 THEN round(tok_len_sum / CAST(n_tok AS DOUBLE), 6) ELSE 0.0 END AS mean_token_len
+  FROM stats
+)
+""".strip()
+
+
+@register(
+    "quality_filter",
+    f"""
+WITH {_QRATIOS_CTES.replace("__STOP_HITS__", _marker_hits_sql(T.STOPWORDS))},
+gated AS (
+  SELECT doc_id,
+    n_tok < 20 AS too_short,
+    punct_ratio > 0.2 AS too_much_punct,
+    NOT (stopword_ratio >= 0.05 AND stopword_ratio <= 0.6) AS stopword_band,
+    NOT (mean_token_len >= 2.5 AND mean_token_len <= 10.0) AS token_len_band
+  FROM ratios
+)
+SELECT doc_id,
+  NOT (too_short OR too_much_punct OR stopword_band OR token_len_band) AS keep,
+  concat_ws(',',
+    CASE WHEN too_short THEN 'too_short' END,
+    CASE WHEN too_much_punct THEN 'too_much_punct' END,
+    CASE WHEN stopword_band THEN 'stopword_band' END,
+    CASE WHEN token_len_band THEN 'token_len_band' END) AS drop_reasons
+FROM gated
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style gated quality filter: per-doc keep/drop decision with the
+    failed-gate names — the auditable form of corpus filtering (at 100 TB you
+    keep the decision + reasons, not just the surviving rows, so filter-rate
+    drift per source/date is monitorable)."""
+    docs = T.with_text_prep(load_table(spark, sf_dir, "documents"))
+    too_short = (T.token_count_prepped() < 20).alias("too_short")
+    too_punct = (T.punct_ratio(F.col("text")) > 0.2).alias("too_much_punct")
+    stop = T.stopword_ratio_prepped()
+    stop_band = (~((stop >= 0.05) & (stop <= 0.6))).alias("stopword_band")
+    wl = T.mean_token_len_prepped()
+    wl_band = (~((wl >= 2.5) & (wl <= 10.0))).alias("token_len_band")
+    gated = docs.select("doc_id", too_short, too_punct, stop_band, wl_band)
+    return gated.select(
+        "doc_id",
+        (
+            ~(
+                F.col("too_short")
+                | F.col("too_much_punct")
+                | F.col("stopword_band")
+                | F.col("token_len_band")
+            )
+        ).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("too_short"), F.lit("too_short")),
+            F.when(F.col("too_much_punct"), F.lit("too_much_punct")),
+            F.when(F.col("stopword_band"), F.lit("stopword_band")),
+            F.when(F.col("token_len_band"), F.lit("token_len_band")),
+        ).alias("drop_reasons"),
+    )

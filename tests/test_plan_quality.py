@@ -127,3 +127,24 @@ def test_date_partitioned_fact_prunes_partitions(spark, tmp_path):
     # and the data filters are empty — nothing left to evaluate per row
     n_days_read = read.select("FactDateKey").distinct().count()
     assert n_days_read <= 1
+
+
+def test_stratified_sample_filter_stays_in_scan_stage(spark):
+    """The md5-bucket filter must be row-local: no Exchange (shuffle), no
+    Python eval, and the scan reads only the referenced columns."""
+    df = QUERIES["stratified_sample"](spark, SF_SMALL)
+    p = plan_of(df)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = [l for l in formatted(df).splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # sampling never touches the payload
+
+
+def test_corpus_shards_has_partial_aggregation(spark):
+    """Shard stats must map-side combine: 2 HashAggregates around 1 shuffle."""
+    df = QUERIES["corpus_shards"](spark, SF_SMALL)
+    df.collect()  # let AQE finalize
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 2
+    read_schema = [l for l in formatted(df).splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "lang" not in read_schema
