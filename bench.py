@@ -70,6 +70,7 @@ HEADLINE = [
     "stratified_sample",
     "corpus_shards",
     "quality_scores",
+    "quality_filter",
     "lang_id",
     "ann_cosine_topk",
     "embedding_near_dup",

@@ -693,3 +693,42 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("token_len_band"), F.lit("token_len_band")),
         ).alias("drop_reasons"),
     )
+
+
+@register(
+    "semantic_dup_clusters",
+    """
+WITH RECURSIVE epairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l
+  JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+  WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.35
+),
+edges AS (
+  SELECT a, b FROM epairs
+  UNION
+  SELECT b, a FROM epairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.node = e.b
+),
+comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY node)
+SELECT em.vec_id, coalesce(c.cid, em.vec_id) AS cluster_id
+FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node
+""",
+)
+def q_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-shaped): duplicate groups = connected
+    components over embedding-cosine near-dup pairs — same clustering
+    operator as the lexical path, different pair emitter; singleton vectors
+    keep their own id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.blocked_near_dup_numpy(
+        emb, block_col="label", threshold=0.35
+    ).select("vec_a", "vec_b")
+    comp = clustering.connected_components(pairs, src="vec_a", dst="vec_b")
+    return clustering.attach_clusters(emb, comp, id_col="vec_id").select(
+        "vec_id", "cluster_id"
+    )
