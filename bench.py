@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_shards",
     "quality_scores",
     "quality_filter",
+    "repetition_stats",
     "lang_id",
     "ann_cosine_topk",
     "embedding_near_dup",

@@ -108,19 +108,19 @@ def exact_dedup(
     return keep.select(id_col, "content_hash")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct) from normalized text.
+def shingles(col: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingle array from normalized text (distinct by default;
+    ``distinct=False`` keeps multiplicity, for repetition statistics).
 
     Built-ins only: split → sliding window via transform over index sequence.
     """
     toks = F.split(normalize_text(col), " ")
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 # MinHash base: one md5 per shingle → 61-bit integer, then cheap affine

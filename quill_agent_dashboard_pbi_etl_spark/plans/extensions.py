@@ -732,3 +732,66 @@ def q_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.attach_clusters(emb, comp, id_col="vec_id").select(
         "vec_id", "cluster_id"
     )
+
+
+@register(
+    "repetition_stats",
+    f"""
+WITH toks AS (SELECT doc_id, str_split({_NORM}, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(greatest(len(t) - 1, 0)), i -> t[i+1] || ' ' || t[i+2]
+         )) AS gram
+  FROM toks
+),
+per AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, sum(c) AS total, count(*) AS nd, max(c) AS top
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.total, 0) AS BIGINT) AS total_2grams,
+       round(CASE WHEN s.total > 0
+                  THEN 1 - s.nd / CAST(s.total AS DOUBLE) ELSE 0.0 END, 6)
+         AS dup_2gram_frac,
+       round(CASE WHEN s.total > 0
+                  THEN s.top / CAST(s.total AS DOUBLE) ELSE 0.0 END, 6)
+         AS top_2gram_coverage
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filters (Gopher-style): duplicate-2-gram
+    fraction and most-frequent-2-gram coverage per doc. Shape is explode →
+    two-level groupBy — scale-safe for arbitrarily long documents (a per-row
+    array-fold would be O(len²) on monster docs); only (doc_id, gram-hash)
+    tuples shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            dedup.shingles(F.col("text"), n=2, distinct=False)
+        ).alias("gram"),
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("nd"),
+        F.max("c").alias("top"),
+    )
+    return docs.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("total"), F.lit(0)).alias("total_2grams"),
+        F.round(
+            F.when(
+                F.col("total") > 0, 1 - F.col("nd") / F.col("total")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.when(
+                F.col("total") > 0, F.col("top") / F.col("total")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_2gram_coverage"),
+    )
