@@ -72,6 +72,8 @@ HEADLINE = [
     "quality_scores",
     "quality_filter",
     "repetition_stats",
+    "decontamination_flags",
+    "sequence_packing",
     "lang_id",
     "ann_cosine_topk",
     "embedding_near_dup",

@@ -795,3 +795,78 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_2gram_coverage"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Corpus assembly: decontamination + sequence packing (operators/corpus.py)
+# --------------------------------------------------------------------------- #
+
+from ..operators import corpus as corpus_ops  # noqa: E402
+
+
+@register(
+    "decontamination_flags",
+    f"""
+WITH {_SHINGLES_CTE},
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+overlap AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id % 50 != 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN overlap o ON d.doc_id = o.doc_id
+WHERE d.doc_id % 50 != 0
+""",
+)
+def q_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥5 distinct
+    3-gram shingles with the held-out eval slice (doc_id % 50 == 0 stands in
+    for a benchmark suite). Eval shingle set broadcasts; the corpus never
+    shuffles whole."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return corpus_ops.decontamination_flags(corpus, eval_set, min_overlap=5)
+
+
+@register(
+    "sequence_packing",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+         CAST(CASE WHEN {_NORM} = '' THEN 0 ELSE len(str_split({_NORM}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+       CASE WHEN n_tokens > 0
+            THEN floor((start_offset + n_tokens - 1) / 512) != floor(start_offset / 512)
+            ELSE FALSE END AS straddles
+FROM laid
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-split, context 512): deterministic token
+    layout per hash shard — each doc's start offset, context-window id, and
+    boundary-straddle flag from one cumulative-sum window."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id",
+        clustering.hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return corpus_ops.pack_sequences(
+        with_tok, shard_col="shard", order_col="doc_id",
+        token_col="n_tokens", context_len=512,
+    )
