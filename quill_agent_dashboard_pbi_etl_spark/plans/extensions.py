@@ -870,3 +870,36 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tok, shard_col="shard", order_col="doc_id",
         token_col="n_tokens", context_len=512,
     )
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "corpus_stats_by_source",
+    f"""
+WITH q AS ({_ORACLES['quality_scores']})
+SELECT d.source, d.lang,
+       count(*) AS n_docs,
+       CAST(sum(q.token_count) AS BIGINT) AS total_tokens,
+       round(avg(q.quality_score), 6) AS avg_quality
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+GROUP BY d.source, d.lang
+""",
+)
+def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus audit: doc count, token volume, mean quality
+    — the aggregate a mixing policy (stratified_sample rates) is tuned from.
+    One shuffle on (source, lang) with map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = q_quality_scores(spark, sf_dir)
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+    )
