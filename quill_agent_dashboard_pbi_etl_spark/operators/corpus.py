@@ -38,13 +38,17 @@ def decontamination_flags(
     Every corpus doc is returned (zero-overlap docs included) so the output
     is a complete audit column, joinable back onto the corpus.
     """
+    from ..sources.readers import ensure_min_partitions
+
     eval_sh = (
         eval_set.select(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
         )
         .distinct()
     )
-    corpus_sh = corpus.select(
+    # Shingling is the CPU-heavy stage: spread a narrow single-file scan
+    # across cores first (no-op on a real many-file layout).
+    corpus_sh = ensure_min_partitions(corpus).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )

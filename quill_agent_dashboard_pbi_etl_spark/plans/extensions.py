@@ -766,8 +766,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level groupBy — scale-safe for arbitrarily long documents (a per-row
     array-fold would be O(len²) on monster docs); only (doc_id, gram-hash)
     tuples shuffle."""
+    from ..sources.readers import ensure_min_partitions
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = ensure_min_partitions(docs).select(
         "doc_id",
         F.explode(
             dedup.shingles(F.col("text"), n=2, distinct=False)
