@@ -74,6 +74,7 @@ HEADLINE = [
     "repetition_stats",
     "decontamination_flags",
     "sequence_packing",
+    "corpus_stats_by_source",
     "lang_id",
     "ann_cosine_topk",
     "embedding_near_dup",
