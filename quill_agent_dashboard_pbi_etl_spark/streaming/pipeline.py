@@ -118,3 +118,47 @@ def start_fact_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# --------------------------------------------------------------------------- #
+# Streaming corpus gate (north-star tier under readStream)
+# --------------------------------------------------------------------------- #
+
+DOC_JSON_SCHEMA = "doc_id long, text string, lang string, source string, event_time timestamp"
+
+
+def streaming_corpus_gate(
+    spark: SparkSession,
+    landing_dir: str,
+    dedup_window: str = "14 days",
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Documents as a stream: the SAME quality-gate + exact-dedup column
+    expressions as the batch corpus tier, compiled under ``readStream``.
+
+    - quality gate: row-local expressions (functions/text.py) — identical
+      keep semantics to the batch ``quality_filter`` gates they share code
+      with; stateless, so no watermark needed for this stage.
+    - exact dedup: ``dropDuplicatesWithinWatermark`` on the normalized
+      content hash — the streaming state store plays the ledger role with a
+      TTL (= watermark delay), exactly like the ingest pipeline's D3.
+
+    Returns the gated stream; attach any sink (tests use an availableNow
+    parquet sink).
+    """
+    from ..functions import text as T
+    from ..operators.dedup import normalize_text
+
+    docs = (
+        spark.readStream.schema(DOC_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(landing_dir)
+    )
+    gated = docs.filter(
+        (T.token_count(F.col("text")) >= min_tokens)
+        & (T.punct_ratio(F.col("text")) <= max_punct_ratio)
+    ).withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+    return gated.withWatermark("event_time", dedup_window).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

@@ -364,3 +364,47 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert 0 not in by_asset  # images produce no frames
     assert {r.frame_index for r in by_asset[2]} == {0, 2, 4}  # every 2nd, capped
     assert all(r.frame_bytes <= 64 for r in frames)
+
+
+def test_streaming_corpus_gate(spark, tmp_path):
+    """Quality gate + exact dedup over a document stream: short docs drop,
+    duplicate content collapses to one row across micro-batches, survivors
+    land in the sink."""
+    import json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        streaming_corpus_gate,
+    )
+
+    landing = tmp_path / "docs_in"
+    landing.mkdir()
+    out = tmp_path / "docs_out"
+    ckpt = tmp_path / "ckpt_corpus"
+    long_text = " ".join(["token"] * 25)
+    rows = [
+        {"doc_id": 1, "text": long_text, "lang": "en", "source": "s0",
+         "event_time": "2024-01-01T00:00:00Z"},
+        {"doc_id": 2, "text": "too short", "lang": "en", "source": "s0",
+         "event_time": "2024-01-01T00:01:00Z"},          # gated: < 20 tokens
+        {"doc_id": 3, "text": long_text + " ", "lang": "en", "source": "s1",
+         "event_time": "2024-01-01T00:02:00Z"},          # dup after normalize
+        {"doc_id": 4, "text": " ".join(["word"] * 30), "lang": "de", "source": "s1",
+         "event_time": "2024-01-01T00:03:00Z"},
+    ]
+    # two files → exercises cross-file dedup within one availableNow run
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:2]))
+    (landing / "b.json").write_text("\n".join(json.dumps(r) for r in rows[2:]))
+
+    q = (
+        streaming_corpus_gate(spark, str(landing))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    ids = sorted(r.doc_id for r in got.collect())
+    # doc 2 gated out; exactly one of {1, 3} survives dedup; 4 survives
+    assert len(ids) == 2 and ids[1] == 4 and ids[0] in (1, 3)
