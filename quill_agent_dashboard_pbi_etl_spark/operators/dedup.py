@@ -116,10 +116,17 @@ def shingles(col: Column, n: int = 3, distinct: bool = True) -> Column:
     """
     toks = F.split(normalize_text(col), " ")
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    # Guard count == 0: sequence(0, -1) is a DESCENDING sequence in Spark, and
+    # its indices would run element_at past the array on sub-n-token docs.
+    grams = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
 
 
@@ -203,7 +210,12 @@ def minhash_lsh_pairs(
     docs) is the classic skew case AQE's skew-join splitting handles.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_df(docs, text_col, id_col, num_hashes, shingle_n)
+    # Shingle-less docs (< shingle_n tokens) have no signature — drop them,
+    # matching the exploded/SQL formulation where they simply emit no rows
+    # (otherwise their all-null sigs would band every empty doc together).
+    sigs = minhash_signature_df(docs, text_col, id_col, num_hashes, shingle_n).filter(
+        F.col("sig_0").isNotNull()
+    )
     # One band row per (doc, band) via a single explode — NOT a per-band
     # union, which would recompute the whole signature subtree `bands` times.
     band_structs = [

@@ -53,3 +53,70 @@ def test_pack_sequences_shards_are_independent(spark):
         out.groupBy("shard").agg(F.min("start_offset").alias("m")).collect()
     )
     assert all(r.m == 0 for r in firsts)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    corpus_texts=st.lists(_words, min_size=1, max_size=8),
+    eval_texts=st.lists(_words, min_size=1, max_size=3),
+)
+def test_decontamination_matches_set_model(spark, corpus_texts, eval_texts):
+    """Spark overlap counts must equal a driver-side distinct-3-gram set
+    intersection for arbitrary tiny corpora (incl. docs too short to shingle)."""
+
+    def tri(text):
+        toks = [t for t in text.split() if t]
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
+
+    eval_sh = set().union(*(tri(t) for t in eval_texts)) if eval_texts else set()
+    expected = {
+        i: len(tri(t) & eval_sh) for i, t in enumerate(corpus_texts)
+    }
+
+    from quill_agent_dashboard_pbi_etl_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_overlap
+        for r in corpus.decontamination_flags(docs, evals, min_overlap=1).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    tokens=st.lists(st.integers(0, 700), min_size=1, max_size=12),
+    ctx=st.sampled_from([128, 512]),
+)
+def test_pack_sequences_matches_cumsum_model(spark, tokens, ctx):
+    """Layout must equal the driver-side running-sum model: contiguous
+    offsets, pack ids from the start offset, straddle iff the doc crosses a
+    context boundary."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, 0, n) for i, n in enumerate(tokens)],
+        "doc_id long, shard long, n_tokens long",
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.pack_id, r.straddles)
+        for r in corpus.pack_sequences(df, "shard", "doc_id", "n_tokens", ctx).collect()
+    }
+    start = 0
+    for i, n in enumerate(tokens):
+        straddle = n > 0 and (start + n - 1) // ctx != start // ctx
+        assert got[i] == (start, start // ctx, straddle)
+        start += n
