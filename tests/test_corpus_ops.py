@@ -120,3 +120,25 @@ def test_pack_sequences_matches_cumsum_model(spark, tokens, ctx):
         straddle = n > 0 and (start + n - 1) // ctx != start // ctx
         assert got[i] == (start, start // ctx, straddle)
         start += n
+
+
+def test_repetition_stats_short_and_empty_docs(spark, monkeypatch, tmp_path):
+    """Sub-2-token docs must yield zero-gram rows, not crash (the
+    sequence(0,-1) regression) — driven through the registered query."""
+    import quill_agent_dashboard_pbi_etl_spark.plans.extensions  # noqa: F401
+    from quill_agent_dashboard_pbi_etl_spark.plans import registry
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two tokens"), (4, "a a a a")],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r.doc_id: (r.total_2grams, r.dup_2gram_frac, r.top_2gram_coverage)
+        for r in registry.QUERIES["repetition_stats"](spark, sf).collect()
+    }
+    assert out[1] == (0, 0.0, 0.0)
+    assert out[2] == (0, 0.0, 0.0)
+    assert out[3] == (1, 0.0, 1.0)
+    assert out[4] == (3, round(1 - 1 / 3, 6), 1.0)  # "a a" ×3
