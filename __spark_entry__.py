@@ -59,9 +59,86 @@ def _wrap(fn: registry.Query) -> registry.Query:
     return wrapped
 
 
+# The driver's correctness sweep checks the FIRST 50 entries of queries() in
+# iteration order. Round 1 registered the 57 parity queries first, so the whole
+# LLM-data tier (plans/extensions.py) and the late TPC-H shapes got no driver
+# verdict. This explicit ordering packs the top 50 with: (a) a representative
+# §2 parity block re-verified after the round-2 adapter fidelity fixes, (b) the
+# two round-1 hash failures (oracle casts fixed), and (c) every query that had
+# no CORRECTNESS row in round 1. Everything else (green in round 1, unchanged)
+# follows after rank 50; the repo's own tools/check_oracle.py still sweeps all
+# entries regardless of order.
+_DRIVER_PRIORITY = [
+    # -- §2 parity block, re-verified after the adapter fidelity fixes --------
+    "adapter_normalize",
+    "within_batch_dedup",
+    "ledger_gate",
+    "roster_gate",
+    "ingest_pipeline_full",
+    "daily_rollup",
+    "pace_color",
+    "star_join_enriched",
+    "dim_agent_sync",
+    "dim_shift_sync",
+    "events_in_shift",
+    "multi_source_union",
+    "hubspot_stub",
+    # -- round-1 hash failures, root-caused as oracle HUGEINT casts ----------
+    "cumulative_agent_counts",
+    "tpch_q12_shipmode_priority",
+    # -- LLM-data tier: dedup family -----------------------------------------
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_near_dup",
+    "dup_clusters",
+    "semantic_dup_clusters",
+    "dedup_survivors",
+    # -- LLM-data tier: text analysis ----------------------------------------
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "doc_fingerprint",
+    "repetition_stats",
+    "quality_filter",
+    "decontamination_flags",
+    # -- LLM-data tier: similarity search ------------------------------------
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    # -- LLM-data tier: corpus assembly --------------------------------------
+    "stratified_sample",
+    "sequence_packing",
+    "corpus_shards",
+    "corpus_stats_by_source",
+    "sessionize_events",
+    "rollup_grouping_sets",
+    "multimodal_features",
+    # -- TPC-H shapes registered after the round-1 cutoff --------------------
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_count_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_customers",
+    "value_percentiles_approx",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator (SURVEY.md §2 + north-star ops)."""
-    return {name: _wrap(fn) for name, fn in registry.QUERIES.items()}
+    """One entry per implemented operator (SURVEY.md §2 + north-star ops),
+    ordered so the driver's 50-query cap yields maximum fresh coverage."""
+    missing = [n for n in _DRIVER_PRIORITY if n not in registry.QUERIES]
+    assert not missing, f"_DRIVER_PRIORITY references unknown queries: {missing}"
+    ordered = {name: _wrap(registry.QUERIES[name]) for name in _DRIVER_PRIORITY}
+    for name, fn in registry.QUERIES.items():
+        if name not in ordered:
+            ordered[name] = _wrap(fn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

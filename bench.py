@@ -128,17 +128,38 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+    # stdout is tail-captured by the driver and a long line gets truncated
+    # mid-JSON (round 1 shipped a ~4.5 KB line and the driver recorded
+    # parsed=null; the capture window is unknown but < 4.5 KB). Keep the
+    # stdout line well under 1 KB: total + the slowest queries only, 1 dp.
+    # Full detail (3 dp timings for all queries, row-count drift map, errors)
+    # goes to BENCH_DETAILS.json beside this script.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "rows": rows,
+        "queries": {k: round(v, 1) for k, v in slowest.items()},
         "sf": sf,
+        "n_queries": len(timings),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["errors"] = {k: v[:40] for k, v in errors.items()}
+    detail = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "errors": errors,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -37,23 +37,14 @@ from pyspark.sql import functions as F
 ALOWARE_TO_METRIC = {"outbound_call": "CALLS", "outbound_text": "TEXTS"}
 HUBSPOT_TO_METRIC = {"email_sent": "EMAILS", "case_created": "CASES"}
 
-# IANA zones the engine recognizes; anything else falls back to UTC exactly as
-# the reference's try/catch does (aloware.adapter.ts:19-21). Extend freely —
-# membership is a broadcast-literal `isin`, still codegen'd.
-KNOWN_TIMEZONES = (
-    "UTC",
-    "America/New_York",
-    "America/Chicago",
-    "America/Denver",
-    "America/Los_Angeles",
-    "America/Phoenix",
-    "Europe/London",
-    "Europe/Berlin",
-    "Europe/Paris",
-    "Asia/Tokyo",
-    "Asia/Kolkata",
-    "Australia/Sydney",
-)
+# Every valid IANA zone is accepted, anything else falls back to UTC — exactly
+# the reference's try/catch semantics (aloware.adapter.ts:19-21). The list is
+# materialized once at plan-build time from the system tzdb; membership is a
+# broadcast-literal `isin`, still codegen'd (a ~600-element IN over a string
+# column is a hash-set probe, not 600 comparisons).
+import zoneinfo as _zoneinfo
+
+KNOWN_TIMEZONES = tuple(sorted(_zoneinfo.available_timezones()))
 
 
 def is_outbound(event_name: Column, direction: Column) -> Column:
@@ -75,15 +66,19 @@ def is_outbound(event_name: Column, direction: Column) -> Column:
 def infer_metric(event_name: Column, type_code: Column) -> Column:
     """P4 metric classifier (aloware.adapter.ts:45-52).
 
-    name contains text/sms or type==2 → TEXTS; name contains call or type==1 →
-    CALLS; else NULL (row dropped downstream — "no misclassification").
+    The reference computes ``isText = name has text/sms OR typeCode==2`` and
+    tests it BEFORE ``isCall = name has call OR typeCode==1`` — so an event
+    named ``outbound_call_x`` with ``type_code=2`` is TEXTS, not CALLS. The
+    boolean structure here mirrors that precedence exactly; else NULL (row
+    dropped downstream — "no misclassification").
     """
     name = F.lower(F.coalesce(event_name, F.lit("")))
     return (
-        F.when(name.contains("text") | name.contains("sms"), F.lit("TEXTS"))
-        .when(name.contains("call"), F.lit("CALLS"))
-        .when(type_code == 2, F.lit("TEXTS"))
-        .when(type_code == 1, F.lit("CALLS"))
+        F.when(
+            name.contains("text") | name.contains("sms") | (type_code == 2),
+            F.lit("TEXTS"),
+        )
+        .when(name.contains("call") | (type_code == 1), F.lit("CALLS"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -128,23 +123,33 @@ def agent_id(owner_id: Column, user_id: Column) -> Column:
 
 def event_id(source: Column, ext_id: Column, uuid_v4: Column, received_at: Column) -> Column:
     """P8 deterministic event id: ``SOURCE:{id ?? uuid ?? epochMillis(receivedAt)}``
-    (aloware.adapter.ts:92-93)."""
+    (aloware.adapter.ts:92-93). The fallback is TRUE epoch milliseconds
+    (``Date.parse`` semantics) — sub-second receivedAt values must not
+    truncate to whole seconds, or same-second events would collide."""
     ext = F.coalesce(
         ext_id.cast("string"),
         uuid_v4,
-        (F.unix_timestamp(received_at) * 1000).cast("string"),
+        F.floor(F.unix_micros(received_at) / 1000).cast("long").cast("string"),
     )
     return F.concat_ws(":", source, ext)
 
 
-def notes(event_name: Column, tz: Column, agent: Column) -> Column:
+def notes(event_name: Column, tz: Column, owner_id: Column, user_id: Column) -> Column:
     """P9 notes assembly (aloware.adapter.ts:95-99): join present parts with
-    ``;`` — ``concat_ws`` natively skips nulls."""
+    ``;`` — ``concat_ws`` natively skips nulls.
+
+    The agent=unknown part uses the reference's FALSY check
+    (``!body?.owner_id && !body?.user_id``): owner_id=0/user_id=0 count as
+    missing for the note even though the derived AgentID is then '0' (the
+    ``??`` nullish coalesce keeps zero). The note is therefore computed from
+    the raw id columns, not from the derived AgentID string."""
+    owner_falsy = owner_id.isNull() | (owner_id == 0)
+    user_falsy = user_id.isNull() | (user_id == 0)
     return F.concat_ws(
         ";",
         F.when(event_name.isNotNull(), F.concat(F.lit("event="), event_name)),
         F.when(tz.isNotNull(), F.concat(F.lit("tz="), tz)),
-        F.when(agent == "unknown", F.lit("agent=unknown")),
+        F.when(owner_falsy & user_falsy, F.lit("agent=unknown")),
     )
 
 
@@ -169,7 +174,9 @@ def normalize_webhooks(df: DataFrame) -> DataFrame:
             agent.alias("AgentID"),
             business_date_key(ts, F.col("tz")).alias("FactDateKey"),
             F.col("MetricID"),
-            notes(F.col("event_name"), F.col("tz"), agent).alias("Notes"),
+            notes(
+                F.col("event_name"), F.col("tz"), F.col("owner_id"), F.col("user_id")
+            ).alias("Notes"),
             ts.alias("EventTime"),  # kept for dedup windows / watermarks
         )
     )

@@ -36,14 +36,23 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 15,
 ) -> DataFrame:
-    """Min-label propagation: returns ``(node, cluster_id)`` where cluster_id
-    is the smallest node id in the node's connected component.
+    """Min-label propagation with pointer jumping: returns
+    ``(node, cluster_id)`` where cluster_id is the smallest node id in the
+    node's connected component.
 
-    Each round: label[n] <- min(label[n], min over neighbors' labels), one
-    shuffle-join + one aggregation; stop when no label changed. Equivalent to
-    the "hash-to-min" MapReduce formulation; for near-dup graphs (cliques)
-    one round already converges, and the convergence check costs one count()
-    per round on the (small) label frontier only.
+    Each round does two things in one checkpointed step:
+    1. propagate: label[n] <- min(label[n], min over neighbors' labels) —
+       one shuffle-join + one aggregation ("hash-to-min");
+    2. pointer-jump: label[n] <- label[label[n]] — one self-join on the
+       (small) label table. Labels are always node ids and label[x] <= x, so
+       the jump only ever shrinks labels and collapses long chains
+       exponentially: a path of diameter d converges in O(log d) rounds
+       instead of O(d), so ``max_iter=15`` covers diameters up to ~2^15.
+
+    Stops when a full round changes no label. If the loop exhausts
+    ``max_iter`` while labels are still moving, raises rather than silently
+    returning split (wrong) clusters — a wrong dedup survivor set is worse
+    than a failed job.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the edge list ONCE: the caller's edge pipeline (e.g. the
@@ -57,7 +66,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         neigh_min = (
             sym.join(
                 labels.select(
@@ -68,25 +78,49 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nlabel").alias("min_neigh"))
         )
-        # Carry old + new label through one checkpoint so the convergence
-        # check is a cheap scan of materialized rows, not another join.
+        propagated = labels.join(
+            neigh_min, labels["node"] == neigh_min["a"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("min_neigh"), F.col("label"))
+            ).alias("mid_label"),
+        )
+        # Pointer jump: label-of-label. Every label is itself a node id, so
+        # the self-join always matches; carry old + new label through one
+        # checkpoint so the convergence check is a cheap scan of materialized
+        # rows, not another join.
         step = (
-            labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
+            propagated.join(
+                labels.select(
+                    F.col("node").alias("mid_label"), F.col("label").alias("jumped")
+                ),
+                "mid_label",
+            )
             .select(
                 "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("min_neigh"), F.col("label"))
-                ).alias("label"),
+                "old_label",
+                F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            step.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
         labels = step.select("node", "label")
-        if changed == 0:
-            break
+        # Round 1 changes labels for any graph with at least one edge —
+        # counting it is a wasted action; start checking from round 2.
+        if i > 0:
+            changed = (
+                step.filter(F.col("label") != F.col("old_label")).limit(1).count()
+            )
+            if changed == 0:
+                converged = True
+                break
+    if not converged and max_iter > 1:
+        raise ValueError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the component graph has pathological diameter — raise "
+            "max_iter (rounds needed grow ~log2(diameter))."
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

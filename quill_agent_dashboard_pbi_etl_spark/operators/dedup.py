@@ -86,6 +86,98 @@ def ledger_new_entries(
     ).dropDuplicates(["pk"])
 
 
+class LedgerLock:
+    """Cross-process mutual exclusion for the parquet ledger.
+
+    The reference gets per-key atomicity from DynamoDB conditional writes
+    (ledger.repo.ts:16-27); a parquet ledger has no conditional write, so two
+    concurrent gate+append cycles could both see a key as new and both mark
+    it. This lock serializes whole cycles via atomic ``O_CREAT|O_EXCL`` file
+    creation (POSIX-atomic, works on shared filesystems that honor O_EXCL).
+    A stale lock (holder died) is broken after ``stale_sec``.
+
+    On a Delta-capable cluster, prefer ``MERGE ... WHEN NOT MATCHED INSERT``
+    per key instead — the lock is the dependency-free answer for plain
+    parquet storage.
+    """
+
+    def __init__(self, ledger_path: str, timeout_sec: float = 60.0, stale_sec: float = 300.0):
+        import os
+
+        self._lock_path = ledger_path.rstrip("/") + ".lock"
+        self._timeout = timeout_sec
+        self._stale = stale_sec
+        self._os = os
+        self._fd: int | None = None
+
+    def __enter__(self) -> "LedgerLock":
+        os = self._os
+        deadline = time.monotonic() + self._timeout
+        while True:
+            try:
+                self._fd = os.open(
+                    self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(self._fd, str(os.getpid()).encode())
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock_path)
+                    if age > self._stale:
+                        os.unlink(self._lock_path)  # break stale lock, retry
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released — retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"ledger lock {self._lock_path} held for >{self._timeout}s"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        os = self._os
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self._lock_path)
+        except FileNotFoundError:
+            pass
+
+
+def ledger_update_atomic(
+    events: DataFrame,
+    ledger_path: str,
+    seen_at: Column,
+    key_col: str = "dedup_key",
+    ttl_days: int = 14,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """D3+K4 as one atomic cycle safe under CONCURRENT writers: lock →
+    read ledger → anti-join gate → append new keys → unlock, returning the
+    gated survivors. Two pipeline runs racing on overlapping keys can never
+    both mark the same pk (the concurrent-append test locks this contract).
+
+    The returned survivors are materialized (collect-free ``localCheckpoint``)
+    before the lock releases, so the gate's view of the ledger cannot be
+    invalidated by a later writer re-running this plan lazily.
+    """
+    from ..schemas import LEDGER_SCHEMA
+
+    spark = events.sparkSession
+    with LedgerLock(ledger_path):
+        try:
+            ledger = spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path)
+        except Exception:  # first writer bootstraps an empty ledger
+            ledger = spark.createDataFrame([], LEDGER_SCHEMA)
+        survivors = ledger_gate(events, ledger, key_col, now_epoch).localCheckpoint(
+            eager=True
+        )
+        new_entries = ledger_new_entries(survivors, seen_at, key_col, ttl_days)
+        new_entries.write.mode("append").parquet(ledger_path)
+    return survivors
+
+
 # --------------------------------------------------------------------------- #
 # North-star document dedup
 # --------------------------------------------------------------------------- #
@@ -213,9 +305,18 @@ def minhash_lsh_pairs(
     # Shingle-less docs (< shingle_n tokens) have no signature — drop them,
     # matching the exploded/SQL formulation where they simply emit no rows
     # (otherwise their all-null sigs would band every empty doc together).
-    sigs = minhash_signature_df(docs, text_col, id_col, num_hashes, shingle_n).filter(
-        F.col("sig_0").isNotNull()
+    #
+    # The drop predicate is the CHEAP equivalent (token count >= n), applied
+    # BEFORE signature computation. Filtering on sig_0 IS NOT NULL *after*
+    # looks identical but is a 6x whole-query regression: Catalyst pushes the
+    # filter below the ensure_min_partitions exchange, inlining the entire
+    # shingle+md5+minhash expression tree into a Filter that runs on the raw
+    # (often single-partition) scan — the full signature computation then
+    # executes twice, once serialized on one task.
+    with_shingles = docs.filter(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")) >= F.lit(shingle_n)
     )
+    sigs = minhash_signature_df(with_shingles, text_col, id_col, num_hashes, shingle_n)
     # One band row per (doc, band) via a single explode — NOT a per-band
     # union, which would recompute the whole signature subtree `bands` times.
     band_structs = [

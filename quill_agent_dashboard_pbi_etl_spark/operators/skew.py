@@ -18,10 +18,14 @@ from pyspark.sql.functions import broadcast
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
     """Attach a salt column in [0, buckets) for load spreading. The salt is
     derived from a per-row unique id, never from the data, and never appears
-    in results — it only exists to split one reducer's key into ``buckets``."""
+    in results — it only exists to split one reducer's key into ``buckets``.
+
+    ``pmod`` (not ``abs % n``): ``abs(hash(x))`` raises ARITHMETIC_OVERFLOW
+    under ANSI mode when hash() returns Integer.MIN_VALUE — a 2^-32 per-row
+    event that is a near-certainty over trillions of rows."""
     return df.withColumn(
         salt_col,
-        (F.abs(F.hash(F.monotonically_increasing_id())) % buckets).cast("int"),
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"),
     )
 
 
@@ -59,7 +63,9 @@ def salted_join_hot_keys(
     hot = F.col(key).isin(*hot_keys)
     fact_salted = facts.withColumn(
         "__salt",
-        F.when(hot, F.abs(F.hash(F.monotonically_increasing_id())) % buckets)
+        F.when(
+            hot, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets))
+        )
         .otherwise(F.lit(0))
         .cast("int"),
     )

@@ -846,8 +846,8 @@ WITH toks AS (
 ),
 laid AS (
   SELECT doc_id, shard, n_tokens,
-         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
   FROM toks
 )
 SELECT doc_id, shard, n_tokens, start_offset,

@@ -1275,10 +1275,10 @@ daily AS (
   FROM normalized GROUP BY AgentID, FactDateKey, MetricID
 )
 SELECT AgentID, FactDateKey, MetricID, EventCount,
-       sum(EventCount) OVER (
+       CAST(sum(EventCount) OVER (
          PARTITION BY AgentID, MetricID ORDER BY FactDateKey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS running_total,
+       ) AS BIGINT) AS running_total,
        CAST(row_number() OVER (
          PARTITION BY AgentID, MetricID ORDER BY FactDateKey
        ) AS BIGINT) AS day_seq
@@ -1635,8 +1635,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_shipmode_priority",
     """
 SELECT o_orderpriority,
-       sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
-       sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_count
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+       CAST(sum(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

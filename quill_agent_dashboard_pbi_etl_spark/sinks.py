@@ -38,6 +38,50 @@ DATASET_TABLES: dict[str, StructType] = {
 
 # Public Power BI Push Dataset REST limits (context for tables.repo.ts:15-32).
 PUSH_MAX_ROWS_PER_POST = 10_000
+PUSH_MAX_POSTS_PER_MINUTE = 120
+
+
+class TokenBucket:
+    """Blocking token bucket: ``acquire()`` returns when a token is available,
+    sleeping exactly as long as needed. One token is earned every
+    ``60 / rate_per_minute`` seconds up to ``burst`` banked tokens.
+
+    The reference delegates this to its vendored SDK ("rate limited retries",
+    README.md:69, docs/src_architecture_proposal.md:135); here the contract is
+    in-repo and unit-tested. ``clock``/``sleep`` are injectable so tests can
+    assert the cadence without wall-clock waits.
+    """
+
+    def __init__(
+        self,
+        rate_per_minute: float = PUSH_MAX_POSTS_PER_MINUTE,
+        burst: int = 1,
+        clock: Callable[[], float] | None = None,
+        sleep: Callable[[float], None] | None = None,
+    ) -> None:
+        import time
+
+        self._interval = 60.0 / float(rate_per_minute)
+        self._burst = float(burst)
+        self._tokens = float(burst)
+        self._clock = clock or time.monotonic
+        self._sleep = sleep or time.sleep
+        self._last: float | None = None
+
+    def acquire(self) -> None:
+        now = self._clock()
+        if self._last is None:
+            self._last = now
+        self._tokens = min(
+            self._burst, self._tokens + (now - self._last) / self._interval
+        )
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) * self._interval
+            self._sleep(wait)
+            self._last = self._clock()
+            self._tokens = 1.0
+        self._tokens -= 1.0
 
 
 def append_fact(fact: DataFrame, path: str) -> None:
@@ -91,24 +135,42 @@ def push_rows_rest(
     df: DataFrame,
     post: Callable[[list[dict]], None],
     max_rows_per_post: int = PUSH_MAX_ROWS_PER_POST,
+    posts_per_minute: float | None = PUSH_MAX_POSTS_PER_MINUTE,
+    concurrency: int = 1,
 ) -> None:
     """K1 true push-sink shape: per-partition chunked POSTs of JSON rows
     (`{rows:[...]}` bodies, tables.repo.ts:15-32). ``post`` is the injected
-    HTTP call — per-partition so N executors push concurrently while each
-    stays under the public per-POST row limit.
+    HTTP call; each task throttles its POSTs through an in-repo
+    ``TokenBucket`` honoring the public 120 POSTs/min limit.
 
-    NOTE: per-partition chunking bounds memory; rate limiting (120 POSTs/min)
-    belongs in the injected ``post`` (token bucket), as in the reference's SDK.
+    The API limit is GLOBAL per dataset, but a bucket lives per task — so the
+    per-task rate is ``posts_per_minute / concurrency``, where ``concurrency``
+    is the number of push tasks that run simultaneously. The default
+    ``concurrency=1`` assumes a single push stream (``df.coalesce(1)`` first,
+    or a 1-partition df) — the right shape for this sink anyway, since the
+    API's 1M rows/hr ceiling, not Spark, is the bottleneck; set it to the
+    executor-slot count when pushing partitions in parallel. Pass
+    ``posts_per_minute=None`` to disable throttling (tests, local mirrors).
     """
+    per_task_rate = (
+        posts_per_minute / max(1, concurrency) if posts_per_minute else None
+    )
 
     def send(partition: Iterator[Row]) -> None:
+        bucket = TokenBucket(per_task_rate) if per_task_rate else None
         buf: list[dict] = []
+
+        def flush() -> None:
+            if bucket is not None:
+                bucket.acquire()
+            post(buf)
+
         for row in partition:
             buf.append(row.asDict())
             if len(buf) >= max_rows_per_post:
-                post(buf)
+                flush()
                 buf = []
         if buf:
-            post(buf)
+            flush()
 
     df.foreachPartition(send)

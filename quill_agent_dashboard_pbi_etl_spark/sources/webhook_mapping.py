@@ -148,9 +148,13 @@ webhooks AS (
 """.strip()
 
 # Adapter pipeline in SQL (mirror of functions/adapter.py normalize_webhooks):
-# outbound gate → metric gate → field derivations. KNOWN_TIMEZONES whitelist
-# must match functions.adapter.KNOWN_TIMEZONES.
-_KNOWN_TZ_SQL = "('UTC','America/New_York','America/Chicago','America/Denver','America/Los_Angeles','America/Phoenix','Europe/London','Europe/Berlin','Europe/Paris','Asia/Tokyo','Asia/Kolkata','Australia/Sydney')"
+# outbound gate → metric gate → field derivations. The valid-zone list is
+# generated from the SAME source as the engine (adapter.KNOWN_TIMEZONES =
+# zoneinfo.available_timezones()) so both sides accept every valid IANA zone
+# and fall back to UTC for anything else, byte-identically.
+from quill_agent_dashboard_pbi_etl_spark.functions.adapter import KNOWN_TIMEZONES
+
+_KNOWN_TZ_SQL = "(" + ",".join(f"'{z}'" for z in KNOWN_TIMEZONES) + ")"
 
 NORMALIZED_CTE = f"""
 {WEBHOOKS_CTE},
@@ -166,10 +170,10 @@ adapter AS (
     END AS is_outbound,
     CASE
       WHEN lower(coalesce(event_name,'')) LIKE '%text%'
-        OR lower(coalesce(event_name,'')) LIKE '%sms%' THEN 'TEXTS'
-      WHEN lower(coalesce(event_name,'')) LIKE '%call%' THEN 'CALLS'
-      WHEN type_code = 2 THEN 'TEXTS'
-      WHEN type_code = 1 THEN 'CALLS'
+        OR lower(coalesce(event_name,'')) LIKE '%sms%'
+        OR type_code = 2 THEN 'TEXTS'
+      WHEN lower(coalesce(event_name,'')) LIKE '%call%'
+        OR type_code = 1 THEN 'CALLS'
     END AS MetricID,
     coalesce(
       try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%S'),
@@ -183,14 +187,15 @@ adapter AS (
 normalized AS (
   SELECT
     'ALOWARE:' || coalesce(CAST(ext_id AS VARCHAR), uuid_v4,
-                           CAST(CAST(epoch(receivedAt) AS BIGINT) * 1000 AS VARCHAR)) AS EventID,
+                           CAST(epoch_ms(receivedAt) AS VARCHAR)) AS EventID,
     AgentID,
     strftime(timezone(tz_eff, timezone('UTC', event_ts)), '%Y-%m-%d') AS FactDateKey,
     MetricID,
     concat_ws(';',
       CASE WHEN event_name IS NOT NULL THEN 'event=' || event_name END,
       CASE WHEN tz IS NOT NULL THEN 'tz=' || tz END,
-      CASE WHEN AgentID = 'unknown' THEN 'agent=unknown' END
+      CASE WHEN (owner_id IS NULL OR owner_id = 0)
+            AND (user_id IS NULL OR user_id = 0) THEN 'agent=unknown' END
     ) AS Notes,
     event_ts AS EventTime
   FROM adapter

@@ -108,6 +108,34 @@ def test_metric_from_type_code(spark):
     assert out == {"ALOWARE:1": "TEXTS", "ALOWARE:2": "TEXTS"}
 
 
+def test_text_typecode_beats_call_name(spark):
+    # isText (name has text/sms OR type==2) is tested BEFORE isCall in the
+    # reference (aloware.adapter.ts:45-52): call-named event with type_code=2
+    # classifies TEXTS, not CALLS.
+    out = normalize_webhooks(
+        mk(spark, [row(event_name="outbound_call_x", type_code=2)])
+    ).collect()
+    assert out[0].MetricID == "TEXTS"
+
+
+def test_zero_ids_note_but_agent_zero(spark):
+    # falsy notes check (!owner_id && !user_id): zero ids get the
+    # agent=unknown note while AgentID is '0' (?? keeps zero)
+    out = normalize_webhooks(
+        mk(spark, [row(owner_id=0, user_id=0, tz=None)])
+    ).collect()
+    r = out[0]
+    assert r.AgentID == "0"
+    assert r.Notes == "event=outbound_call;agent=unknown"
+
+
+def test_off_whitelist_valid_zone_accepted(spark):
+    # any valid IANA zone works, not just a hand-picked subset: 03:00Z Jan 15
+    # is Jan 14 18:00 in America/Anchorage (UTC-9)
+    out = normalize_webhooks(mk(spark, [row(tz="America/Anchorage")])).collect()
+    assert out[0].FactDateKey == "2024-01-14"
+
+
 def test_tz_business_date(spark):
     # 03:00Z on Jan 15 is Jan 14 in America/Los_Angeles (FIXTURES.md edge case)
     out = normalize_webhooks(

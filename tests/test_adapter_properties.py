@@ -47,9 +47,21 @@ createds = st.sampled_from(
     ]
 )
 tzs = st.sampled_from(
-    [None, "UTC", "America/New_York", "Asia/Tokyo", "Australia/Sydney", "Mars/Olympus"]
+    [
+        None,
+        "UTC",
+        "America/New_York",
+        "Asia/Tokyo",
+        "Australia/Sydney",
+        "Mars/Olympus",
+        # valid IANA zone that was NOT in the old 12-zone whitelist — locks the
+        # accept-any-valid-zone semantics (aloware.adapter.ts:19-21)
+        "America/Anchorage",
+    ]
 )
-ids = st.one_of(st.none(), st.integers(min_value=1, max_value=99999))
+# 0 included: the reference's ?? keeps 0 for AgentID but its falsy notes check
+# treats 0 as missing — both paths must be exercised
+ids = st.one_of(st.none(), st.integers(min_value=0, max_value=99999))
 
 rows = st.fixed_dictionaries(
     {
@@ -78,14 +90,11 @@ def model_outbound(name, direction):
 
 
 def model_metric(name, type_code):
+    # isText is computed AND TESTED before isCall (aloware.adapter.ts:45-52)
     n = (name or "").lower()
-    if "text" in n or "sms" in n:
+    if "text" in n or "sms" in n or type_code == 2:
         return "TEXTS"
-    if "call" in n:
-        return "CALLS"
-    if type_code == 2:
-        return "TEXTS"
-    if type_code == 1:
+    if "call" in n or type_code == 1:
         return "CALLS"
     return None
 
@@ -127,7 +136,7 @@ def model_row(r):
         parts.append(f"event={r['event_name']}")
     if r["tz"] is not None:
         parts.append(f"tz={r['tz']}")
-    if agent == "unknown":
+    if not r["owner_id"] and not r["user_id"]:  # falsy: None OR 0
         parts.append("agent=unknown")
     return {
         "EventID": f"ALOWARE:{ext}",

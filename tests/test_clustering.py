@@ -30,6 +30,17 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.cluster_id for r in out.collect()} == {0}
 
 
+def test_connected_components_diameter_beyond_max_iter(spark):
+    # Path graph of diameter 120 — plain min-propagation would need 120
+    # rounds and, pre-fix, silently returned SPLIT clusters at max_iter=15.
+    # Pointer jumping converges in ~log2(120) ≈ 7 rounds.
+    out = clustering.connected_components(
+        _edges(spark, [(i, i + 1) for i in range(120)])
+    )
+    got = {r.cluster_id for r in out.collect()}
+    assert got == {0}
+
+
 def test_connected_components_empty_edges(spark):
     out = clustering.connected_components(_edges(spark, []).filter("doc_a > 0"))
     assert out.count() == 0

@@ -54,6 +54,56 @@ def test_ledger_new_entries_ttl(spark):
     assert out[0].expiresAt == int(seen.timestamp()) + 14 * 86400
 
 
+def test_ledger_update_atomic_concurrent_writers(spark, tmp_path):
+    """Two pipeline runs racing on OVERLAPPING keys must never both mark the
+    same pk — the parquet analogue of DynamoDB's conditional write
+    (ledger.repo.ts:16-27), serialized by the O_EXCL ledger lock."""
+    import threading
+
+    ledger_path = str(tmp_path / "ledger")
+    mk = lambda keys: spark.createDataFrame(  # noqa: E731
+        [(k, dt.datetime(2024, 1, 15, 12)) for k in keys], "dedup_key string, ts timestamp"
+    )
+    batches = [mk(["A:1", "A:2", "A:3"]), mk(["A:2", "A:3", "A:4"])]
+    survivors: dict[int, list[str]] = {}
+
+    def run(i: int) -> None:
+        out = dedup.ledger_update_atomic(
+            batches[i], ledger_path, F.col("ts"), now_epoch=1705320000
+        )
+        survivors[i] = [r.dedup_key for r in out.collect()]
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    ledger = spark.read.parquet(ledger_path)
+    pks = [r.pk for r in ledger.collect()]
+    assert sorted(pks) == ["A:1", "A:2", "A:3", "A:4"]  # no duplicate pk
+    # overlapping keys went to exactly one batch's survivors
+    all_surv = survivors[0] + survivors[1]
+    assert sorted(all_surv) == ["A:1", "A:2", "A:3", "A:4"]
+
+
+def test_ledger_lock_released_on_error(spark, tmp_path):
+    """A failed cycle must not leave the ledger permanently locked."""
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.dedup import LedgerLock
+
+    path = str(tmp_path / "ledger")
+    try:
+        with LedgerLock(path):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not os.path.exists(path + ".lock")
+    with LedgerLock(path, timeout_sec=1):  # reacquirable immediately
+        pass
+
+
 def test_roster_gate_filters_and_fail_modes(spark):
     events = spark.createDataFrame([("1",), ("2",), ("9",)], "AgentID string")
     roster = spark.createDataFrame([("1",), ("2",)], "AgentID string")

@@ -11,6 +11,47 @@ from quill_agent_dashboard_pbi_etl_spark.sources.readers import (
 )
 
 
+def test_token_bucket_cadence():
+    """The push-sink rate limiter enforces the 120 POSTs/min contract
+    in-repo (reference: SDK-side, README.md:69): one POST per 0.5 s after the
+    burst token, idle time banks at most `burst` tokens."""
+    t = [0.0]
+    sleeps: list[float] = []
+
+    def clock() -> float:
+        return t[0]
+
+    def sleep(s: float) -> None:
+        sleeps.append(round(s, 9))
+        t[0] += s
+
+    b = sinks.TokenBucket(rate_per_minute=120, burst=1, clock=clock, sleep=sleep)
+    b.acquire()  # burst token — immediate
+    b.acquire()  # must wait one interval
+    b.acquire()
+    assert sleeps == [0.5, 0.5]
+    t[0] += 5.0  # long idle banks only up to burst=1 token
+    b.acquire()  # banked token — immediate
+    b.acquire()  # next must wait a full interval again
+    assert sleeps == [0.5, 0.5, 0.5]
+
+
+def test_token_bucket_paces_a_posting_minute():
+    """121 sequential POSTs at 120/min must span >= ~60 s of (fake) time."""
+    t = [0.0]
+
+    def clock() -> float:
+        return t[0]
+
+    def sleep(s: float) -> None:
+        t[0] += s
+
+    b = sinks.TokenBucket(rate_per_minute=120, burst=1, clock=clock, sleep=sleep)
+    for _ in range(121):
+        b.acquire()
+    assert t[0] >= 59.9
+
+
 def test_replay_json_dir_filters_sorts_limits(spark, tmp_path):
     """S3/P13 (tools/harness/run-aloware.ts:35-48,61-69): recursive listing,
     substring pattern filter, .json extension filter, lexicographic order,
