@@ -82,7 +82,6 @@ _DRIVER_PRIORITY = [
     "dim_shift_sync",
     "events_in_shift",
     "multi_source_union",
-    "hubspot_stub",
     # -- round-1 hash failures, root-caused as oracle HUGEINT casts ----------
     "cumulative_agent_counts",
     "tpch_q12_shipmode_priority",
@@ -117,6 +116,7 @@ _DRIVER_PRIORITY = [
     "sessionize_events",
     "rollup_grouping_sets",
     "multimodal_features",
+    "multimodal_real_decode",
     # -- TPC-H shapes registered after the round-1 cutoff --------------------
     "tpch_q8_market_share",
     "tpch_q11_important_stock",

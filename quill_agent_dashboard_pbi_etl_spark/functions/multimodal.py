@@ -6,16 +6,23 @@ Arrow-batched Pandas functions over ``mapInPandas`` so the Python cost is paid
 per-batch, not per-row, and each partition streams through without
 materializing.
 
-The actual codec work is STUBBED (this container ships no image/audio libs):
-``decode_asset`` raises ``NotImplementedError`` and the pipeline uses
-``fake_decode`` — a deterministic, dependency-free stand-in that produces the
-same shapes a real decoder would. The Spark-side plumbing (schemas, batch
-iteration, partitioning) is real and tested.
+Codec support is two-tier. ``decode_asset`` REALLY decodes the formats the
+Python stdlib can parse — PCM WAV (``wave``), uncompressed 24-bit BMP and
+binary PPM (``struct``) — and raises ``NotImplementedError`` for compressed
+formats (JPEG/PNG/MP4 need PIL/pyav, absent in this container); that raise is
+the production-decoder hook. ``fake_decode`` remains the dependency-free
+stand-in for pipelines over arbitrary payloads. The Spark-side plumbing
+(schemas, Arrow batch iteration, partitioning) is identical for both and
+tested end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+from array import array
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,14 +36,156 @@ ASSET_FEATURES_SCHEMA = (
 )
 
 
-def decode_asset(payload: bytes, modality: str):  # pragma: no cover - stub
-    """Real decoder hook (PIL/torchaudio/pyav in production images).
+def _decode_wav(payload: bytes) -> tuple[list[float], int]:
+    """PCM WAV → (8-segment normalized RMS vector, PCM frame count)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        samples = array("h", raw)
+        full_scale = 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = array("b", bytes((b - 128) & 0xFF for b in raw))
+        full_scale = 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    if not samples:
+        return [0.0] * 8, 0
+    seg = max(1, len(samples) // 8)
+    feats = []
+    for i in range(8):
+        chunk = samples[i * seg : (i + 1) * seg] or samples[-seg:]
+        rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
+        feats.append(rms / full_scale)
+    return feats, n_frames
 
-    Deliberately unimplemented here: the container has no codec libraries.
-    """
+
+def _mean_rgb(pixels_rgb: Iterator[tuple[int, int, int]], count: int) -> list[float]:
+    sums = [0, 0, 0]
+    for r, g, b in pixels_rgb:
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+    return [s / count / 255.0 for s in sums] if count else [0.0, 0.0, 0.0]
+
+
+def _decode_bmp(payload: bytes) -> tuple[list[float], int]:
+    """Uncompressed 24-bit BI_RGB BMP → ([mean_r, mean_g, mean_b], 1)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    row_stride = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+
+    def pixels():
+        for row in range(abs(height)):
+            base = data_offset + row * row_stride
+            for col in range(width):
+                off = base + col * 3
+                b, g, r = payload[off], payload[off + 1], payload[off + 2]
+                yield r, g, b
+
+    return _mean_rgb(pixels(), width * abs(height)), 1
+
+
+def _decode_ppm(payload: bytes) -> tuple[list[float], int]:
+    """Binary PPM (P6, maxval 255) → ([mean_r, mean_g, mean_b], 1)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval={maxval}")
+    raster = payload[pos + 1 : pos + 1 + width * height * 3]
+    trip = struct.iter_unpack("BBB", raster)
+    return _mean_rgb(trip, width * height), 1
+
+
+def decode_asset(payload: bytes, modality: str) -> tuple[list[float], int]:
+    """Real decoder: magic-sniffs the stdlib-decodable formats and extracts
+    (feature_vector, frame_count). Compressed formats raise
+    ``NotImplementedError`` — the hook where PIL/torchaudio/pyav plug in on a
+    production image."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "codec libraries unavailable in this environment; use fake_decode"
+        f"no stdlib codec for this {modality} payload "
+        f"(magic={payload[:4]!r}); plug PIL/torchaudio/pyav into decode_asset"
     )
+
+
+def _lcg_bytes(seed: int, n: int) -> bytes:
+    """Deterministic pseudo-random bytes (LCG) — engine-portable test data."""
+    x = (seed * 2654435761 + 1) & 0xFFFFFFFF
+    out = bytearray(n)
+    for i in range(n):
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        out[i] = (x >> 16) & 0xFF
+    return bytes(out)
+
+
+def make_wav_bytes(seed: int, n_frames: int = 256, framerate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV payload for the real-decode path."""
+    raw = _lcg_bytes(seed, n_frames * 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def make_bmp_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic uncompressed 24-bit BMP payload."""
+    row_stride = (width * 3 + 3) // 4 * 4
+    raster_size = row_stride * height
+    # Interpret the LCG stream as RGB triples (same as make_ppm_bytes) and
+    # write them in BMP's BGR raster order, so the two containers hold the
+    # same logical pixels for a given seed.
+    pix = _lcg_bytes(seed, width * height * 3)
+    raster = bytearray(raster_size)
+    k = 0
+    for row in range(height):
+        base = row * row_stride
+        for col in range(width):
+            r, g, b = pix[k], pix[k + 1], pix[k + 2]
+            off = base + col * 3
+            raster[off], raster[off + 1], raster[off + 2] = b, g, r
+            k += 3
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + raster_size, 0, 0, 54,  # file header: size, reserved, data offset
+        40, width, height, 1, 24, 0, raster_size, 2835, 2835, 0, 0,  # BITMAPINFOHEADER
+    )
+    return header + bytes(raster)
+
+
+def make_ppm_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic binary PPM (P6) payload."""
+    return b"P6\n%d %d\n255\n" % (width, height) + _lcg_bytes(seed, width * height * 3)
 
 
 def fake_decode(payload: bytes, modality: str) -> tuple[list[float], int]:
@@ -98,6 +247,36 @@ def synthesize_assets_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.lit("application/octet-stream").alias("mime_type"),
     )
+
+
+def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a multimodal asset table whose payloads are REAL codec bytes
+    (WAV / BMP / PPM, seeded by doc_id) so ``extract_features(...,
+    use_real_decoder=True)`` exercises actual decoding. Generation runs in
+    mapInPandas — payloads are born on executors, never on the driver."""
+    out_schema = "asset_id long, modality string, content binary, mime_type string"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = [
+            ("audio", "audio/wav", make_wav_bytes),
+            ("image", "image/bmp", make_bmp_bytes),
+            ("image", "image/x-portable-pixmap", make_ppm_bytes),
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                modality, mime, maker = makers[int(doc_id) % 3]
+                rows.append(
+                    {
+                        "asset_id": int(doc_id),
+                        "modality": modality,
+                        "content": maker(int(doc_id)),
+                        "mime_type": mime,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "modality", "content", "mime_type"])
+
+    return docs.select("doc_id").mapInPandas(synth, out_schema)
 
 
 # Output schema of the resize stage: binary out, new dims alongside.

@@ -428,6 +428,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_real_decode")  # stdlib codec output — rows-only check
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL-decode pipeline: synthesize genuine WAV/BMP/PPM
+    payloads per document (mapInPandas, executor-side) and decode them with
+    the stdlib codecs behind decode_asset — PCM RMS features for audio, RGB
+    channel means for images (functions/multimodal.py). The decode math is
+    not SQL-expressible, so this registers rows-only; exact feature values
+    are locked by tests/test_multimodal.py against a pure-Python reference."""
+    from ..functions.multimodal import (
+        extract_features,
+        synthesize_codec_assets_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_codec_assets_from_documents(docs)
+    return extract_features(assets, use_real_decoder=True).select(
+        "asset_id",
+        "modality",
+        "byte_len",
+        "content_sha256",
+        F.round(F.col("feat_mean"), 6).alias("feat_mean"),
+        F.col("feat_dim").cast("int").alias("feat_dim"),
+        "frames_sampled",
+    )
+
+
 @register("ann_ivf_topk")  # approximate — rows-only check
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: nprobe=1 cell probe with the first 8 vectors as fixed
