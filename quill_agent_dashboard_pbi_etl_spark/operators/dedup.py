@@ -370,26 +370,46 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
-    inverted-index self-join on shingle (candidate generation) → per-pair
-    intersection counts → |A∪B| = |A|+|B|−|A∩B|. Returns
-    (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded to 6 dp for
-    cross-engine hash stability.
+    Default path: inverted-index self-join on shingle (candidate generation)
+    → per-pair intersection counts via map-side-combined groupBy →
+    |A∪B| = |A|+|B|−|A∩B|. Returns (doc_a, doc_b, jaccard ≥ threshold,
+    rounded to 6 dp for cross-engine hash stability).
 
-    Scale: the only quadratic danger is a stop-shingle appearing in most
-    docs — its bucket self-joins quadratically. ``max_doc_freq`` drops such
-    shingles from CANDIDATE GENERATION only (set sizes stay exact), turning
-    reported Jaccard into a tight lower bound — the standard stop-shingle
-    cap. Leave ``None`` for the exact/oracle-checked mode.
+    ``prefix_filter=True`` switches to the PPJoin-family plan (Chaudhuri et
+    al. ICDE'06 SSJoin, Xiao et al. WWW'08 PPJoin): order every doc's
+    shingles by ascending global document frequency, index only the first
+    ``|A| − ⌈t·|A|⌉ + 1`` per doc (any Jaccard ≥ t pair must collide inside
+    these prefixes), filter candidates by size ratio (``t·|A| ≤ |B| ≤
+    |A|/t``), then verify exactly with ``array_intersect`` on the full hash
+    arrays. Identical output (asserted by tests). Measured guidance: on
+    corpora with pervasive sub-threshold overlap (this synthetic bench) the
+    co-occurrence groupBy wins — partial aggregation compresses the shared-
+    shingle mass map-side and prefixes can't prune pairs that share rare
+    shingles too. On sparse-overlap corpora (real web scale, where most doc
+    pairs share nothing) the prefix index shrinks candidate generation from
+    Σ-co-occurrence to ~the true near-dup set, which is what makes an exact
+    similarity self-join feasible at 100 TB.
 
-    The self-join runs on an 8-byte ``xxhash64`` of the shingle instead of the
-    shingle string — same pair counts (collisions are ~2^-64), much cheaper
-    shuffle keys — and the exploded index is persisted so the two join sides
-    don't re-shingle the corpus.
+    Scale: the quadratic danger in either path is a stop-shingle appearing
+    in most docs — its bucket self-joins quadratically. ``max_doc_freq``
+    drops such shingles from CANDIDATE GENERATION only (set sizes stay
+    exact), turning reported Jaccard into a tight lower bound — the standard
+    stop-shingle cap. Leave ``None`` for the exact/oracle-checked mode.
+
+    All joins run on 8-byte ``xxhash64`` shingle hashes, not strings — same
+    pairs (collisions ~2^-64), much cheaper shuffle keys — and the exploded
+    index / per-doc arrays are persisted so join sides don't re-shingle.
     """
     from ..sources.readers import ensure_min_partitions
+
+    if prefix_filter and max_doc_freq is None:
+        return _ngram_jaccard_pairs_ppjoin(
+            docs, text_col, id_col, shingle_n, threshold
+        )
 
     sh = (
         ensure_min_partitions(docs)
@@ -431,6 +451,101 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_pairs_ppjoin(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """PPJoin-family plan for ``ngram_jaccard_pairs(prefix_filter=True)``:
+    df-ascending prefix index + size-ratio filter + exact array_intersect
+    verification. See the public docstring for when this path wins.
+
+    Shingle-less docs are dropped with the CHEAP predicate (token count >= n)
+    BEFORE the array pipeline — filtering on a computed ``size(hs) > 0``
+    afterwards looks identical but Catalyst pushes it below the projection and
+    re-inlines the whole shingle tree into the Filter (measured 9x slower;
+    same pitfall as the minhash sig_0 filter).
+    """
+    from ..sources.readers import ensure_min_partitions
+
+    with_shingles = ensure_min_partitions(docs).filter(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")) >= F.lit(shingle_n)
+    )
+    sh = with_shingles.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    df_tab = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # Rare-first global order: sort each doc's shingles by (df, h). Rare
+    # shingles discriminate, so prefixes of truly-similar docs collide while
+    # unrelated docs' prefixes (their rarest features) do not.
+    prep = (
+        sh.join(df_tab, "h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("o"))
+        .select(
+            F.col(id_col),
+            F.transform("o", lambda x: x["h"]).alias("hs"),
+            F.size("o").alias("set_size"),
+        )
+        .persist()
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
+    ).cast("int")
+    index = prep.select(
+        F.col(id_col),
+        "set_size",
+        F.explode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("h"),
+    )
+    cand = (
+        index.alias("l")
+        .join(
+            index.alias("r"),
+            on=[
+                F.col("l.h") == F.col("r.h"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                F.col("r.set_size") >= F.lit(threshold) * F.col("l.set_size"),
+                F.col("l.set_size") >= F.lit(threshold) * F.col("r.set_size"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            prep.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            prep.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -148,3 +148,26 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     assert set(capped) <= set(exact)
     for k, v in capped.items():
         assert v <= exact[k] + 1e-9  # lower bound, never inflated
+
+
+def test_ngram_jaccard_prefix_filter_identical(spark):
+    """The PPJoin prefix-filtered plan (df-ascending prefixes + size-ratio
+    filter + array_intersect verification) must return EXACTLY the pairs and
+    jaccard values of the inverted-index default — prefix filtering is a
+    lossless candidate-pruning, never an approximation."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import dedup
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for threshold in (0.3, 0.5, 0.8):
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        ppjoin = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=threshold, prefix_filter=True
+            ).collect()
+        }
+        assert ppjoin == exact, f"t={threshold}: {len(ppjoin)} vs {len(exact)}"
