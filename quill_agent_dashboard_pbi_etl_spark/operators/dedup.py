@@ -285,7 +285,7 @@ def minhash_signature_df(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -293,13 +293,13 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash + LSH banding: candidate near-dup pairs (a < b) that collide in
-    ≥1 band. rows-per-band = num_hashes/bands.
+    """LSH band-bucket table: one row per (doc, band) with the band's bucket
+    key — the candidate-generation stage of MinHash LSH, exposed so batch
+    pairing (``minhash_lsh_pairs``) and the streaming gate's incremental
+    index (``streaming/pipeline.py``) share one implementation.
 
-    Scale shape: signatures (narrow) → explode to `bands` rows → shuffle on
-    (band, band_key) → per-bucket self-pairing. No cross join anywhere; bucket
-    sizes are bounded by collision probability, and a hot bucket (boilerplate
-    docs) is the classic skew case AQE's skew-join splitting handles.
+    Returns (id_col, band, band_key). Two docs are near-dup CANDIDATES iff
+    they share a (band, band_key) row.
     """
     rows_per_band = num_hashes // bands
     # Shingle-less docs (< shingle_n tokens) have no signature — drop them,
@@ -334,17 +334,37 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # Persist the narrow bucket table: the self-join below would otherwise
-    # recompute the whole shingle→signature pipeline for BOTH sides.
-    buckets = (
+    return (
         sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
         .select(
             F.col(id_col),
             F.col("bk.band").alias("band"),
             F.col("bk.band_key").alias("band_key"),
         )
-        .persist()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-dup pairs (a < b) that collide in
+    ≥1 band. rows-per-band = num_hashes/bands.
+
+    Scale shape: signatures (narrow) → explode to `bands` rows → shuffle on
+    (band, band_key) → per-bucket self-pairing. No cross join anywhere; bucket
+    sizes are bounded by collision probability, and a hot bucket (boilerplate
+    docs) is the classic skew case AQE's skew-join splitting handles.
+    """
+    # Persist the narrow bucket table: the self-join below would otherwise
+    # recompute the whole shingle→signature pipeline for BOTH sides.
+    buckets = minhash_band_buckets(
+        docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (

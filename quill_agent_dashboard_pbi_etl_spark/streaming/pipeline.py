@@ -22,6 +22,7 @@ graph compiles once and runs under Structured Streaming:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -162,3 +163,124 @@ def streaming_corpus_gate(
     return gated.withWatermark("event_time", dedup_window).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def start_streaming_near_dup_gate(
+    spark: SparkSession,
+    landing_dir: str,
+    output_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.2,
+    available_now: bool = False,
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """Streaming NEAR-dup gate: quality gate + MinHash-LSH suppression per
+    micro-batch against an incrementally-built bucket index of every
+    previously ACCEPTED document.
+
+    Per batch (``foreachBatch``):
+
+    1. quality gate — the same row-local expressions as the batch
+       ``quality_filter`` / ``streaming_corpus_gate``.
+    2. band the batch with the SAME ``minhash_band_buckets`` stage the batch
+       pipeline uses (operators/dedup.py) — identical banding means a doc
+       suppressed here is exactly a doc the batch ``dedup_minhash_lsh`` would
+       pair.
+    3. history suppression — any batch doc sharing a (band, band_key) bucket
+       with an accepted doc is a near-dup of corpus history → dropped. The
+       history side is a parquet bucket table under ``state_dir``; the batch
+       side is micro-batch-sized, so Spark broadcasts it against the large
+       history scan (no history shuffle).
+    4. within-batch suppression — greedy keep-lowest-id per bucket: a doc is
+       dropped if a smaller-id, non-history-suppressed batch doc shares one
+       of its buckets. (Exact dups share ALL buckets, so this subsumes exact
+       dedup.) Greedy-per-bucket is deliberately one notch more aggressive
+       than the batch path's transitive connected-components clustering —
+       the right trade for a gate that must decide per micro-batch without an
+       iterative job; banding is already probabilistic candidate generation.
+    5. survivors append to ``output_dir``; survivors' bucket rows append to
+       ``state_dir``. Both writes go to a ``batch_id=N`` subdirectory with
+       mode=overwrite — a replayed micro-batch (checkpoint recovery)
+       rewrites its own directory instead of duplicating rows, the standard
+       idempotent-``foreachBatch`` pattern.
+
+    State lives OUTSIDE the streaming checkpoint, so the accepted-corpus
+    index survives checkpoint resets and is queryable/compactable as a plain
+    table. 100 TB posture: the index holds ``bands`` narrow rows per accepted
+    doc; compact it periodically and bucket it by (band, band_key) so the
+    per-batch join prunes to colliding buckets instead of scanning the full
+    index (SPARK bucketed-table join elision); a hot boilerplate bucket is
+    AQE skew-join territory, same as the batch path.
+    """
+    from ..functions import text as T
+    from ..operators.dedup import minhash_band_buckets
+
+    docs = (
+        spark.readStream.schema(DOC_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(landing_dir)
+    )
+    gated_stream = docs.filter(
+        (T.token_count(F.col("text")) >= min_tokens)
+        & (T.punct_ratio(F.col("text")) <= max_punct_ratio)
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            buckets = minhash_band_buckets(
+                batch_df, "text", "doc_id", num_hashes, bands, shingle_n
+            ).persist()
+            try:
+                history = sess.read.parquet(state_dir).select(
+                    "band", "band_key"
+                )
+            except AnalysisException:  # first batch: no state yet
+                history = sess.createDataFrame([], "band int, band_key string")
+            hist_hit = (
+                buckets.join(history.distinct(), ["band", "band_key"])
+                .select("doc_id")
+                .distinct()
+            )
+            # Buckets of docs that survived history — only these can suppress
+            # a within-batch sibling.
+            surv_buckets = buckets.join(hist_hit, "doc_id", "left_anti")
+            within_hit = (
+                surv_buckets.alias("l")
+                .join(
+                    buckets.alias("r"),
+                    on=[
+                        F.col("l.band") == F.col("r.band"),
+                        F.col("l.band_key") == F.col("r.band_key"),
+                        F.col("l.doc_id") < F.col("r.doc_id"),
+                    ],
+                )
+                .select(F.col("r.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            dropped = hist_hit.union(within_hit).distinct()
+            keep = batch_df.join(dropped, "doc_id", "left_anti")
+            keep.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+            (
+                buckets.join(dropped, "doc_id", "left_anti")
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/batch_id={batch_id}")
+            )
+            buckets.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = gated_stream.writeStream.foreachBatch(gate_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

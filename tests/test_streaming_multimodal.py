@@ -408,3 +408,58 @@ def test_streaming_corpus_gate(spark, tmp_path):
     ids = sorted(r.doc_id for r in got.collect())
     # doc 2 gated out; exactly one of {1, 3} survives dedup; 4 survives
     assert len(ids) == 2 and ids[1] == 4 and ids[0] in (1, 3)
+
+
+def test_streaming_near_dup_gate(spark, tmp_path):
+    """MinHash near-dup suppression across micro-batches AND across separate
+    availableNow runs: the accepted-bucket index under state_dir persists
+    outside the checkpoint, so a later run suppresses near-dups of documents
+    accepted earlier. Within a batch, the lowest-id doc of a colliding
+    bucket survives."""
+    import json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        start_streaming_near_dup_gate,
+    )
+
+    landing = tmp_path / "nd_in"
+    landing.mkdir()
+    out, state, ckpt = (
+        str(tmp_path / "nd_out"), str(tmp_path / "nd_state"), str(tmp_path / "nd_ckpt"),
+    )
+    base = ["alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+            "kilo lima mike november oscar papa quebec romeo sierra tango"]
+    text_a = " ".join(base * 2)                        # 40 tokens
+    near_a = text_a.replace("hotel", "hostel", 1)      # near-dup of text_a
+    near_a2 = text_a.replace("oscar", "oscars", 1)     # another near-dup
+    text_b = " ".join(
+        "zulu yankee xray whiskey victor uniform tree sun rain moon".split() * 4
+    )
+
+    def row(i, text):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "s",
+                "event_time": f"2024-01-01T00:0{i}:00Z"}
+
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in [
+        row(1, text_a),
+        row(2, "too short"),          # quality-gated
+        row(3, near_a),               # within-batch near-dup of 1
+        row(4, text_b),
+    ]))
+    q = start_streaming_near_dup_gate(
+        spark, str(landing), out, state, ckpt, available_now=True)
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 4]
+
+    # Second run, same checkpoint: doc 5 is a near-dup of the ACCEPTED doc 1
+    # (cross-run history suppression); doc 6 is fresh.
+    (landing / "b.json").write_text("\n".join(json.dumps(r) for r in [
+        row(5, near_a2),
+        row(6, " ".join("one two three four five six seven eight nine ten".split() * 3)),
+    ]))
+    q = start_streaming_near_dup_gate(
+        spark, str(landing), out, state, ckpt, available_now=True)
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 4, 6]
