@@ -56,10 +56,22 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the edge list ONCE: the caller's edge pipeline (e.g. the
-    # whole shingle→Jaccard join) must not re-execute on every round.
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    # whole shingle→Jaccard join) must not re-execute on every round. The
+    # symmetric closure is an explode of [(a,b),(b,a)], NOT a self-union —
+    # a union's two branches would each execute the caller's edge DAG inside
+    # this one checkpoint action.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -90,21 +102,28 @@ def connected_components(
         # Pointer jump: label-of-label. Every label is itself a node id, so
         # the self-join always matches; carry old + new label through one
         # checkpoint so the convergence check is a cheap scan of materialized
-        # rows, not another join.
-        step = (
-            propagated.join(
-                labels.select(
-                    F.col("node").alias("mid_label"), F.col("label").alias("jumped")
-                ),
-                "mid_label",
+        # rows, not another join. Round 0 skips the jump: labels start as
+        # node ids, so label[mid_label] == mid_label and the join is an
+        # identity — pure cost.
+        if i == 0:
+            step = propagated.select(
+                "node", "old_label", F.col("mid_label").alias("label")
+            ).localCheckpoint(eager=True)
+        else:
+            step = (
+                propagated.join(
+                    labels.select(
+                        F.col("node").alias("mid_label"), F.col("label").alias("jumped")
+                    ),
+                    "mid_label",
+                )
+                .select(
+                    "node",
+                    "old_label",
+                    F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .select(
-                "node",
-                "old_label",
-                F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
         labels = step.select("node", "label")
         # Round 1 changes labels for any graph with at least one edge —
         # counting it is a wasted action; start checking from round 2.
