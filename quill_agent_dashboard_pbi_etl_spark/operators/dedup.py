@@ -574,14 +574,21 @@ def _ngram_jaccard_pairs_ppjoin(
 
 
 def simhash_df(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash fingerprints: sign-sum of per-token hash bits.
+    """64-bit SimHash fingerprints: sign-sum of per-token hash bits.
 
-    Token stream → per-(doc, bit) weighted votes → assemble the fingerprint as
-    a bigint. Pure built-ins (explode + bitwise ops + groupBy); near-dup pairs
-    are then Hamming-distance filters over the fingerprint, typically bucketed
-    by fingerprint prefix at scale.
+    Token stream → per-(doc, bit) weighted votes → assemble the fingerprint.
+    Pure built-ins (explode + bitwise ops + groupBy).
+
+    The fingerprint is carried as TWO unsigned 32-bit halves
+    (``simhash_hi`` = bits 32..63, ``simhash_lo`` = bits 0..31), each derived
+    from one 8-hex-char slice of the token's md5 — the same portability trick
+    as :func:`shingle_hash`: every value is reproducible in ANSI SQL
+    (``('0x' || substr(md5(tok), 1, 8))::BIGINT``), so the operator keeps a
+    DuckDB oracle, and both halves stay non-negative (no engine-specific
+    64-bit sign-wrap semantics to reconcile). Hamming distance over the pair
+    of halves is identical to Hamming over the single 64-bit word.
     """
     from ..sources.readers import ensure_min_partitions
 
@@ -589,27 +596,39 @@ def simhash_df(
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).select(F.col(id_col), F.md5("tok").alias("m")).select(
+        F.col(id_col),
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    h = F.xxhash64(F.col("tok"))
+
+    def vote(src: str, i: int) -> Column:
+        mask = F.lit(1 << i).cast("long")
+        return F.when(F.col(src).bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
     votes = toks.select(
         F.col(id_col),
-        *[
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"b{i}")
-            for i in range(bits)
-        ],
+        *[vote("lo", i).alias(f"l{i}") for i in range(32)],
+        *[vote("hi", i).alias(f"h{i}") for i in range(32)],
     )
     summed = votes.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+        *[F.sum(f"l{i}").alias(f"sl{i}") for i in range(32)],
+        *[F.sum(f"h{i}").alias(f"sh{i}") for i in range(32)],
     )
-    fp = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+    def assemble(prefix: str) -> Column:
+        fp = F.lit(0).cast("long")
+        for i in range(32):
+            fp = fp + F.when(
+                F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return fp
+
+    return summed.select(
+        F.col(id_col),
+        assemble("sh").alias("simhash_hi"),
+        assemble("sl").alias("simhash_lo"),
+    )
 
 
 def simhash_near_pairs(
@@ -617,12 +636,21 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-generated by
     fingerprint prefix buckets (docs differing only in low bits still collide
-    on the high-bit prefix with probability ≈ 1 − max_hamming/bits)."""
+    on the high-bit prefix with probability ≈ 1 − max_hamming/bits).
+
+    ``fps`` is the (id, simhash_hi, simhash_lo) output of :func:`simhash_df`;
+    the bucket is the top ``prefix_bits`` bits of the fingerprint (taken from
+    ``simhash_hi``), and Hamming distance is the sum of per-half popcounts.
+    """
     bucketed = fps.withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    ).persist()  # self-joined below; avoid recomputing the fingerprint pass twice
+        "bucket", F.shiftrightunsigned(F.col("simhash_hi"), 32 - prefix_bits)
+    ).localCheckpoint(eager=True)  # self-joined below; materialize the
+    # fingerprint pass once, with blocks released when the DF is GC'd (a
+    # persist() here outlives the query and leaks across a bench session)
     l, r = bucketed.alias("l"), bucketed.alias("r")
-    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    hamming = F.bit_count(
+        F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi"))
+    ) + F.bit_count(F.col("l.simhash_lo").bitwiseXOR(F.col("r.simhash_lo")))
     return (
         l.join(
             r,
@@ -631,7 +659,7 @@ def simhash_near_pairs(
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
-        .withColumn("hamming", F.bit_count(xor))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),

@@ -103,13 +103,66 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
-@register("simhash_near_dup")  # xxhash64-based — engine-native, rows-only check
+# SimHash oracle: the fingerprint is two md5-derived unsigned 32-bit halves
+# (operators.dedup.simhash_df), so every bit vote, the assembled fingerprint,
+# the prefix bucket, and the Hamming distance are reproducible in DuckDB.
+_SIMHASH_SUMS = ",\n    ".join(
+    [
+        f"sum(CASE WHEN ((lo >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS sl{i}"
+        for i in range(32)
+    ]
+    + [
+        f"sum(CASE WHEN ((hi >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS sh{i}"
+        for i in range(32)
+    ]
+)
+_SIMHASH_FP_LO = " + ".join(
+    f"(CASE WHEN sl{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)" for i in range(32)
+)
+_SIMHASH_FP_HI = " + ".join(
+    f"(CASE WHEN sh{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)" for i in range(32)
+)
+_SIMHASH_HAMMING = (
+    "bit_count(xor(l.fp_hi, r.fp_hi)) + bit_count(xor(l.fp_lo, r.fp_lo))"
+)
+
+
+@register(
+    "simhash_near_dup",
+    f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(str_split({_NORM}, ' '))) AS m FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(m, 1, 8))::BIGINT AS hi,
+         ('0x' || substr(m, 9, 8))::BIGINT AS lo
+  FROM toks
+),
+sums AS (
+  SELECT doc_id,
+    {_SIMHASH_SUMS}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, ({_SIMHASH_FP_HI}) AS fp_hi, ({_SIMHASH_FP_LO}) AS fp_lo FROM sums
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST({_SIMHASH_HAMMING} AS INTEGER) AS hamming
+FROM fp l
+JOIN fp r ON (l.fp_hi >> 16) = (r.fp_hi >> 16) AND l.doc_id < r.doc_id
+WHERE {_SIMHASH_HAMMING} <= 8
+""",
+)
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs, Hamming ≤ 8, prefix-bucketed candidate
-    generation. Uses JVM xxhash64 (no SQL oracle — rows-only check)."""
+    """SimHash(64-bit, md5-portable halves) near-dup pairs, Hamming ≤ 8,
+    prefix-bucketed candidate generation — full SQL oracle (every bit vote
+    reproducible in DuckDB)."""
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash_df(docs)
-    return dedup.simhash_near_pairs(fps, max_hamming=8)
+    return dedup.simhash_near_pairs(fps, max_hamming=8).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 @register(

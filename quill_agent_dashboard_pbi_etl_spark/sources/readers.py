@@ -32,15 +32,26 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
-    The driver writes `events.ts` as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it lands as int64 nanoseconds and
-    is truncated here to a µs TimestampType (identical to DuckDB's ns→µs
-    truncation, so oracle hashes agree).
+    ``events.ts`` must land as a UTC-instant TimestampType (schemas.py declares
+    ``receivedAt`` as TimestampType and the adapter calls ``unix_micros`` on
+    it). The driver's parquet has shipped it two ways across rounds:
+
+    * TIMESTAMP(NANOS) + ``spark.sql.legacy.parquet.nanosAsLong`` → int64
+      nanoseconds; truncated here to µs (same ns→µs truncation DuckDB does).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → ``timestamp_ntz``; cast to
+      TimestampType. The session timezone is pinned to UTC, so the cast maps
+      the wall clock to the same UTC instant DuckDB's naive TIMESTAMP carries
+      — oracle hashes agree.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
