@@ -360,11 +360,14 @@ def minhash_lsh_pairs(
     sizes are bounded by collision probability, and a hot bucket (boilerplate
     docs) is the classic skew case AQE's skew-join splitting handles.
     """
-    # Persist the narrow bucket table: the self-join below would otherwise
-    # recompute the whole shingle→signature pipeline for BOTH sides.
+    # Materialize the narrow bucket table: the self-join below would otherwise
+    # recompute the whole shingle→signature pipeline for BOTH sides. Eager
+    # localCheckpoint instead of persist(): blocks are released when the DF is
+    # GC'd, so a long session running many queries doesn't accumulate cached
+    # partitions (persist() entries live until the session dies).
     buckets = minhash_band_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n
-    ).persist()
+    ).localCheckpoint(eager=True)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -438,7 +441,7 @@ def ngram_jaccard_pairs(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
-        .persist()
+        .localCheckpoint(eager=True)  # joined 3× below; GC-released, not persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     index = sh
@@ -517,7 +520,7 @@ def _ngram_jaccard_pairs_ppjoin(
             F.transform("o", lambda x: x["h"]).alias("hs"),
             F.size("o").alias("set_size"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # prefix index + 2 verify joins reuse it
     )
     prefix_len = (
         F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)

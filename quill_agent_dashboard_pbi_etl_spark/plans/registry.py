@@ -327,10 +327,12 @@ def q_ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
 
     # The fact feeds three branches (dedup, the synthetic ledger, the
-    # synthetic roster); persist the one normalize pass instead of paying the
-    # expression-heavy adapter chain 3×. In production the ledger/roster are
-    # separate small tables and no cache is needed.
-    fact = normalized_fact(spark, sf_dir).persist()
+    # synthetic roster); materialize the one normalize pass instead of paying
+    # the expression-heavy adapter chain 3×. Eager localCheckpoint, not
+    # persist(): blocks release on GC instead of living for the whole session.
+    # In production the ledger/roster are separate small tables and no cache
+    # is needed.
+    fact = normalized_fact(spark, sf_dir).localCheckpoint(eager=True)
     kept = dedup.keep_first(fact, ["EventID"], [F.col("EventTime"), F.col("Notes")])
     ledger = fact.filter(
         F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
@@ -491,9 +493,9 @@ def q_pace_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     2024-01-20 12:00 anchor so the query is deterministic."""
     fact = normalized_fact(spark, sf_dir)
     # The rollup is reused twice (attainment + the shift-dim agent list);
-    # persist the few-thousand-row aggregate instead of re-normalizing 100%
-    # of the fact scan for the second branch.
-    daily = rollups.daily_rollup(fact).persist()
+    # materialize the few-thousand-row aggregate (GC-released localCheckpoint)
+    # instead of re-normalizing 100% of the fact scan for the second branch.
+    daily = rollups.daily_rollup(fact).localCheckpoint(eager=True)
     dim_metric = star.build_dim_metric(spark)
     att = daily.join(broadcast(dim_metric), "MetricID").select(
         "AgentID",

@@ -233,6 +233,7 @@ def start_streaming_near_dup_gate(
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch_df = batch_df.persist()
+        buckets = None
         try:
             buckets = minhash_band_buckets(
                 batch_df, "text", "doc_id", num_hashes, bands, shingle_n
@@ -272,8 +273,9 @@ def start_streaming_near_dup_gate(
                 .write.mode("overwrite")
                 .parquet(f"{state_dir}/batch_id={batch_id}")
             )
-            buckets.unpersist()
-        finally:
+        finally:  # unpersist even on a failed batch — the stream outlives it
+            if buckets is not None:
+                buckets.unpersist()
             batch_df.unpersist()
 
     writer = gated_stream.writeStream.foreachBatch(gate_batch).option(
