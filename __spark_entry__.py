@@ -60,16 +60,21 @@ def _wrap(fn: registry.Query) -> registry.Query:
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries() in
-# iteration order. Round 1 registered the 57 parity queries first, so the whole
-# LLM-data tier (plans/extensions.py) and the late TPC-H shapes got no driver
-# verdict. This explicit ordering packs the top 50 with: (a) a representative
-# §2 parity block re-verified after the round-2 adapter fidelity fixes, (b) the
-# two round-1 hash failures (oracle casts fixed), and (c) every query that had
-# no CORRECTNESS row in round 1. Everything else (green in round 1, unchanged)
-# follows after rank 50; the repo's own tools/check_oracle.py still sweeps all
-# entries regardless of order.
+# iteration order. Round-4 rotation policy: (a) the 13 queries whose round-3
+# rows errored on the testdata timestamp_ntz change (fixed in
+# sources/readers.load_table) need a fresh green verdict; (b) every query
+# whose code changed this round (portable SimHash + its new oracle, the
+# multi-table LSH rewrite, the two new recall-harness queries, and the
+# persist→localCheckpoint conversions under the dedup/cluster family); (c)
+# the round-1-only-green backlog (unchanged code, but per the driver contract
+# their verdicts age out). 13 + 9 + 28 = 50; the 7 deferred stale entries
+# (time_filter_yesterday/last_week/this_week/last_month/this_month,
+# value_percentiles, hubspot_stub — trivial or same-function-family as
+# in-window entries) rotate to the FRONT of round 5. Everything green in
+# round 3 with unchanged code follows after rank 50; tools/check_oracle.py
+# still sweeps all entries regardless of order.
 _DRIVER_PRIORITY = [
-    # -- §2 parity block, re-verified after the adapter fidelity fixes --------
+    # -- (a) round-3 NTZ casualties, re-verified on the fixed reader ----------
     "adapter_normalize",
     "within_batch_dedup",
     "ledger_gate",
@@ -78,54 +83,50 @@ _DRIVER_PRIORITY = [
     "daily_rollup",
     "pace_color",
     "star_join_enriched",
-    "dim_agent_sync",
     "dim_shift_sync",
     "events_in_shift",
     "multi_source_union",
-    # -- round-1 hash failures, root-caused as oracle HUGEINT casts ----------
     "cumulative_agent_counts",
-    "tpch_q12_shipmode_priority",
-    # -- LLM-data tier: dedup family -----------------------------------------
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "simhash_near_dup",
-    "dup_clusters",
+    "sessionize_events",
+    # -- (b) code changed this round ------------------------------------------
+    "simhash_near_dup",        # md5-portable fingerprint + new full oracle
+    "ann_ivf_recall",          # new: recall harness (exact side oracled)
+    "embedding_lsh_recall",    # new: recall harness (exact side oracled)
+    "embedding_near_dup_lsh",  # multi-table Rademacher LSH rewrite
+    "dedup_minhash_lsh",       # localCheckpoint conversion
+    "dedup_ngram_jaccard",     # localCheckpoint conversion
+    "dup_clusters",            # consumes the converted pair generators
     "semantic_dup_clusters",
     "dedup_survivors",
-    # -- LLM-data tier: text analysis ----------------------------------------
-    "token_counts",
-    "quality_scores",
-    "lang_id",
-    "doc_fingerprint",
-    "repetition_stats",
-    "quality_filter",
-    "decontamination_flags",
-    # -- LLM-data tier: similarity search ------------------------------------
-    "ann_cosine_topk",
-    "ann_cosine_topk_vectorized",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    # -- LLM-data tier: corpus assembly --------------------------------------
-    "stratified_sample",
-    "sequence_packing",
-    "corpus_shards",
-    "corpus_stats_by_source",
-    "sessionize_events",
-    "rollup_grouping_sets",
-    "multimodal_features",
-    "multimodal_real_decode",
-    # -- TPC-H shapes registered after the round-1 cutoff --------------------
-    "tpch_q8_market_share",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_count_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_idle_customers",
-    "value_percentiles_approx",
+    # -- (c) round-1-only-green backlog ---------------------------------------
+    "time_filter_today",
+    "time_filter_custom_range",
+    "goal_attainment",
+    "dim_hints",
+    "dim_date_seed",
+    "dim_metric_sync",
+    "ensure_dims_missing_dates",
+    "run_counters",
+    "ledger_update",
+    "asof_last_purchase",
+    "frequent_tokens",
+    "region_revenue",
+    "salted_metric_rollup",
+    "top_customers_per_nation",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_delta",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_revenue",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_part_suppliers",
 ]
 
 

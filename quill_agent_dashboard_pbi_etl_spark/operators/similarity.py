@@ -150,52 +150,95 @@ def near_dup_by_cosine(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_bits: int = 4,
+    bucket_bits: int = 2,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+    """Embedding-cosine near-duplicate pairs via multi-table random-hyperplane
+    LSH (Charikar, STOC'02 sign-random-projection sketches).
 
-    Sign-bit sketch of ``bucket_bits`` fixed pseudo-random hyperplanes (seeded
-    from the dimension index — deterministic, no RNG state) buckets the
-    corpus; only same-bucket pairs are scored. Pairs (a<b) with cosine ≥
-    threshold survive. High-cosine pairs agree on sign bits with high
-    probability, so recall stays high while candidate counts drop ~2^bits×.
+    ``n_tables`` independent hash tables, each bucketing the corpus by the
+    sign bits of ``bucket_bits`` pseudo-random Rademacher hyperplanes
+    (component signs drawn deterministically from ``xxhash64(table, bit,
+    dim_index)`` — seedless and reproducible across runs). Candidates are
+    pairs colliding in ≥1 table; survivors are exact-cosine verified against
+    ``threshold``, so precision is always 1.0 and only recall is
+    probabilistic: a pair at angle θ agrees on one sign bit with p = 1 − θ/π,
+    so its detect probability is 1 − (1 − p^bits)^tables. AND-amplification
+    (``bucket_bits``) cuts candidates ~2^bits× per table; OR-amplification
+    (``n_tables``) restores recall — tune both to the target threshold. The
+    defaults (2 bits × 8 tables) give expected recall ≈ 0.97 at cosine 0.35
+    (p ≈ 0.61) — appropriate for LOW-similarity mining; for classic ≥0.9
+    near-dup gating raise ``bucket_bits`` to 8–16 for a much deeper candidate
+    cut at the same recall.
+
+    One explode to (table, bucket) rows, one shuffle on that key, per-bucket
+    self-pairing, distinct, exact verify — no cross join; the same
+    candidate-generation shape as MinHash LSH banding.
     """
     v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    # Deterministic "hyperplanes": alternating-sign masks derived from index
-    # arithmetic — portable and seedless.
-    bucket = None
-    for b in range(bucket_bits):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                F.sequence(F.lit(0), F.size(F.col("vec")) - 1),
-                lambda x, i: x
-                * F.when((i + b) % (b + 2) < (b + 2) / 2.0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    def rademacher_sign(table: int, bit: int):
+        # ±1 from the parity of a 3-ary hash of (table, bit, dim index):
+        # a deterministic Rademacher random vector per (table, bit).
+        def f(x: Column, i: Column) -> Column:
+            h = F.xxhash64(F.lit(table), F.lit(bit), i)
+            return x * F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+
+        return f
+
+    idx = F.sequence(F.lit(0), F.size(F.col("vec")) - 1)
+
+    def table_bucket(table: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for b in range(bucket_bits):
+            proj = F.aggregate(
+                F.zip_with(F.col("vec"), idx, rademacher_sign(table, b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(
+                proj >= 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return bucket
+
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = (
+        v.select(F.col(id_col), F.col("vec"), F.explode(tables).alias("tb"))
+        .select(
+            F.col(id_col),
+            F.col("vec"),
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
         )
-        bit = F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    bucketed = v.withColumn("bucket", bucket)
+        .localCheckpoint(eager=True)  # self-joined; GC-released, not persist()
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(
             r,
             on=[
+                F.col("l.tbl") == F.col("r.tbl"),
                 F.col("l.bucket") == F.col("r.bucket"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
-        .withColumn("cosine_sim", F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6))
-        .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("vec_a"),
             F.col(f"r.{id_col}").alias("vec_b"),
-            "cosine_sim",
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
     )
 
 
@@ -306,6 +349,32 @@ def ivf_topk_trained(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine_sim")
+    )
+
+
+def all_pairs_cosine(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold — the ground-truth baseline the LSH
+    recall harness compares against. Deliberately O(n²) (broadcast
+    nested-loop self-join): run it on model-sized corpora (the harness's
+    query/eval sets) or per-block, never on the full 100 TB corpus — that is
+    precisely what :func:`near_dup_by_cosine` exists to avoid.
+    """
+    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(broadcast(r), F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            "cosine_sim",
+        )
     )
 
 

@@ -171,3 +171,61 @@ def test_ngram_jaccard_prefix_filter_identical(spark):
             ).collect()
         }
         assert ppjoin == exact, f"t={threshold}: {len(ppjoin)} vs {len(exact)}"
+
+
+def test_all_pairs_cosine_exact_ground_truth(spark):
+    vecs = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),     # cos(1,2) ≈ 0.995
+            (3, [0.0, 1.0]),     # orthogonal to 1
+            (4, [-1.0, 0.0]),    # opposite to 1
+        ],
+    )
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in similarity.all_pairs_cosine(vecs, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_lsh_near_dup_recall_against_exact(spark):
+    """Multi-table Rademacher LSH must recover ≥90% of the exact pairs on a
+    clustered corpus (the embedding_lsh_recall driver contract)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 20 clusters × 10 members: unit-ish base vector + small noise → high
+    # intra-cluster cosine, low cross-cluster cosine.
+    for c in range(20):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        for m in range(10):
+            noise = [b + rng.gauss(0, 0.15) for b in base]
+            rows.append((c * 10 + m, [float(x) for x in noise]))
+    vecs = _emb(spark, rows)
+    exact = set(
+        (r.vec_a, r.vec_b)
+        for r in similarity.all_pairs_cosine(vecs, threshold=0.8).collect()
+    )
+    approx = set(
+        (r.vec_a, r.vec_b)
+        for r in similarity.near_dup_by_cosine(vecs, threshold=0.8).collect()
+    )
+    assert exact, "fixture must produce exact pairs"
+    assert not approx - exact, "LSH must be a subset (exact verify stage)"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9 over {len(exact)} pairs"
+
+
+def test_recall_harness_queries_report_in_contract(spark):
+    from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
+    from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ivf = QUERIES["ann_ivf_recall"](spark, sf).collect()
+    assert len(ivf) == 10 and all(r.recall_ok for r in ivf)
+    lsh = QUERIES["embedding_lsh_recall"](spark, sf).collect()
+    assert len(lsh) == 1 and lsh[0].recall_ok and lsh[0].n_exact_pairs > 0
