@@ -178,6 +178,101 @@ def ledger_update_atomic(
     return survivors
 
 
+def merge_capable(spark) -> bool:
+    """Capability probe: does this session's catalog support row-level
+    ``MERGE INTO``? Spark's built-in parquet/in-memory catalogs do not; the
+    probe checks for a Delta Lake or Apache Iceberg session extension, the
+    two mainstream MERGE-capable table formats."""
+    exts = spark.conf.get("spark.sql.extensions", "") or ""
+    return (
+        "io.delta.sql.DeltaSparkSessionExtension" in exts
+        or "IcebergSparkSessionExtensions" in exts
+    )
+
+
+def ledger_merge_sql(
+    ledger_table: str, source_view: str, now_epoch: int
+) -> str:
+    """The K4 conditional-write cycle as one ``MERGE`` statement for a
+    Delta/Iceberg ledger table (reference analog: DynamoDB
+    ``attribute_not_exists(pk)`` conditional put, ledger.repo.ts:16-27).
+
+    Claim-then-verify shape: every candidate key carries the writer's run id;
+    ``WHEN NOT MATCHED`` inserts the claim, ``WHEN MATCHED AND expired``
+    reclaims a TTL-dead key (DynamoDB TTL semantics). The table format's
+    optimistic concurrency serializes conflicting commits, so for any pk
+    exactly ONE writer's ``writer_id`` lands — afterwards each writer reads
+    back the ledger and keeps only events whose key it actually won
+    (:func:`ledger_update_auto`). No external lock required.
+    """
+    return f"""
+MERGE INTO {ledger_table} AS l
+USING {source_view} AS s
+ON l.pk = s.pk
+WHEN MATCHED AND l.expiresAt < {now_epoch} THEN UPDATE SET
+  l.seenAt = s.seenAt, l.expiresAt = s.expiresAt, l.writer_id = s.writer_id
+WHEN NOT MATCHED THEN INSERT (pk, seenAt, expiresAt, writer_id)
+  VALUES (s.pk, s.seenAt, s.expiresAt, s.writer_id)
+""".strip()
+
+
+def ledger_update_auto(
+    events: DataFrame,
+    ledger_path: str,
+    seen_at: Column,
+    key_col: str = "dedup_key",
+    ttl_days: int = 14,
+    now_epoch: int | None = None,
+    ledger_table: str | None = None,
+    writer_id: str | None = None,
+) -> DataFrame:
+    """K4 atomic gate+mark cycle, picking the strongest mechanism the
+    session offers:
+
+    * MERGE path (``ledger_table`` given and :func:`merge_capable`): claim
+      keys via :func:`ledger_merge_sql`, then verify by reading back which
+      pks this ``writer_id`` won — per-key atomicity from the table format's
+      optimistic concurrency, no lock, safe under concurrent writers AND
+      writer crashes (a dead writer's committed claims stand; its
+      uncommitted ones simply never existed).
+    * Lock path (plain parquet): :func:`ledger_update_atomic` — whole-cycle
+      mutual exclusion via the O_EXCL :class:`LedgerLock`, stale-broken
+      after its timeout if a writer dies mid-cycle.
+    """
+    spark = events.sparkSession
+    if now_epoch is None:
+        now_epoch = int(time.time())
+    if ledger_table is None or not merge_capable(spark):
+        return ledger_update_atomic(
+            events, ledger_path, seen_at, key_col, ttl_days, now_epoch
+        )
+    import uuid
+
+    if writer_id is None:
+        writer_id = uuid.uuid4().hex
+    candidates = (
+        events.select(
+            F.col(key_col).alias("pk"),
+            seen_at.alias("seenAt"),
+            (F.unix_timestamp(seen_at) + ttl_days * 86400).alias("expiresAt"),
+        )
+        .dropDuplicates(["pk"])
+        .withColumn("writer_id", F.lit(writer_id))
+    )
+    view = f"__ledger_candidates_{writer_id}"
+    candidates.createOrReplaceTempView(view)
+    try:
+        spark.sql(ledger_merge_sql(ledger_table, view, now_epoch))
+    finally:
+        spark.catalog.dropTempView(view)
+    won = (
+        spark.table(ledger_table)
+        .filter(F.col("writer_id") == writer_id)
+        .select(F.col("pk").alias(key_col))
+    )
+    return events.join(won, key_col, "left_semi")
+
+
 # --------------------------------------------------------------------------- #
 # North-star document dedup
 # --------------------------------------------------------------------------- #

@@ -137,6 +137,37 @@ def close_gap_sessions(
     )
 
 
+def state_v2_available() -> bool:
+    """Capability probe for the Spark 4 state-v2 runtime
+    (``transformWithStateInPandas``): its driver↔worker wire protocol is
+    protobuf-based, so the Python environment must provide
+    ``google.protobuf``. Deployment clusters additionally need the RocksDB
+    state-store provider configured; that is a session setting the caller
+    owns (see :func:`close_gap_sessions_v2`)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def close_gap_sessions_auto(
+    fact: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str | None = "10 minutes",
+    time_col: str = "EventTime",
+    key_col: str = "AgentID",
+    id_col: str = "EventID",
+) -> DataFrame:
+    """Deployment entry point for gap-session closing: the state-v2 operator
+    where the runtime supports it (disk-spillable RocksDB state — the 100 TB
+    path), else the ``applyInPandasWithState`` v1 operator. Both emit the
+    identical closed-session contract, so callers and tests are
+    implementation-agnostic."""
+    impl = close_gap_sessions_v2 if state_v2_available() else close_gap_sessions
+    return impl(fact, gap_minutes, watermark_delay, time_col, key_col, id_col)
+
+
 def close_gap_sessions_v2(
     fact: DataFrame,
     gap_minutes: int = 30,
