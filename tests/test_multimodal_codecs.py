@@ -99,3 +99,45 @@ def test_real_decode_pipeline(spark):
         assert rows[i].feat_dim == len(feats)
         assert rows[i].feat_mean == pytest.approx(sum(feats) / len(feats))
         assert rows[i].modality == ("audio" if i % 3 == 0 else "image")
+
+
+# Golden feature vectors per LCG seed, computed once from the stdlib codecs
+# and cross-checked against the independent wave/struct references above.
+# They pin the decode math numerically: any regression in the LCG stream,
+# the container writers, or the RMS / channel-mean feature extraction moves
+# these values and fails here even if encode and decode drift together.
+_GOLDEN = {
+    0: {
+        "wav": [0.6186673767, 0.5326687245, 0.5993248587, 0.5448164255,
+                0.6210634128, 0.4837508790, 0.6283074019, 0.6468517705],
+        "rgb": [0.5179534314, 0.4656250000, 0.4612745098],
+    },
+    1: {
+        "wav": [0.5389631917, 0.5666179863, 0.5093494505, 0.6011974141,
+                0.5319310489, 0.5506313384, 0.5321642431, 0.5820600003],
+        "rgb": [0.4720588235, 0.4810661765, 0.4989583333],
+    },
+    2: {
+        "wav": [0.5724209495, 0.5204384701, 0.5602990642, 0.5671970135,
+                0.5713512933, 0.6418858187, 0.5857021617, 0.6810516140],
+        "rgb": [0.5046568627, 0.5276348039, 0.5209558824],
+    },
+    7: {
+        "wav": [0.5910469334, 0.5702833780, 0.4961230340, 0.6869091515,
+                0.5138547567, 0.6312320409, 0.6449070219, 0.5927342565],
+        "rgb": [0.4939338235, 0.5104166667, 0.4579656863],
+    },
+}
+
+
+@pytest.mark.parametrize("seed", sorted(_GOLDEN))
+def test_codec_golden_features(seed):
+    golden = _GOLDEN[seed]
+    wav, wav_frames = decode_asset(make_wav_bytes(seed), "audio")
+    assert wav_frames == 256
+    assert wav == pytest.approx(golden["wav"], abs=1e-9)
+    bmp, bmp_frames = decode_asset(make_bmp_bytes(seed), "image")
+    ppm, ppm_frames = decode_asset(make_ppm_bytes(seed), "image")
+    assert bmp_frames == ppm_frames == 1
+    assert bmp == pytest.approx(golden["rgb"], abs=1e-9)
+    assert ppm == pytest.approx(golden["rgb"], abs=1e-9)
