@@ -79,6 +79,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_near_dup",
     "multimodal_features",
+    "simhash_near_dup",
+    "embedding_near_dup_lsh",
+    "ann_ivf_recall",
+    "embedding_lsh_recall",
 ]
 
 
@@ -159,6 +163,7 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

@@ -167,78 +167,118 @@ def near_dup_by_cosine(
     (``bucket_bits``) cuts candidates ~2^bits× per table; OR-amplification
     (``n_tables``) restores recall — tune both to the target threshold. The
     defaults (2 bits × 8 tables) give expected recall ≈ 0.97 at cosine 0.35
-    (p ≈ 0.61) — appropriate for LOW-similarity mining; for classic ≥0.9
-    near-dup gating raise ``bucket_bits`` to 8–16 for a much deeper candidate
-    cut at the same recall.
+    (p ≈ 0.61); for classic ≥0.8 near-dup gating raise ``bucket_bits`` to
+    8–16 for a deep candidate cut at the same recall.
 
-    One explode to (table, bucket) rows, one shuffle on that key, per-bucket
-    self-pairing, distinct, exact verify — no cross join; the same
-    candidate-generation shape as MinHash LSH banding.
+    Honest scaling boundary: the candidate-pruning power is the gap between
+    the wanted pairs' bit-agreement p and the background's (~0.5 for nearly
+    orthogonal vectors). At cosine ≥ 0.8 (p ≥ 0.8, 8 bits × 14 tables)
+    background collisions are ~5% of pairs — a real 20× scan cut. At cosine
+    0.35 the gap (0.61 vs 0.5) is too small for ANY (bits, tables) to prune
+    without killing recall — candidate volume approaches all-pairs and the
+    op degenerates to a verified brute force. That is a property of
+    sign-random-projection LSH, not of this implementation; for
+    low-threshold mining at scale use :func:`blocked_near_dup_numpy` over a
+    coarse partition (IVF cells, labels) instead.
+
+    Execution shape: one vectorized pass computes every table's bucket (a
+    single numpy matmul per Arrow batch against a deterministic
+    splitmix64-derived Rademacher matrix), rows fan out to (table, bucket)
+    keys carrying their vector, ONE shuffle groups each bucket, and each
+    bucket verifies its own pairs locally with a dense matmul (the
+    blocked-numpy kernel). Only SURVIVING pairs (actual near-dups) leave the
+    bucket, so the global dedupe handles the true-positive set ×tables —
+    never the full candidate volume. No cross join; no global candidate
+    materialization; a hot bucket is the skew unit (sub-block or cap it at
+    extreme skew, same discipline as MinHash banding).
     """
     v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    bucketed = _lsh_buckets_numpy(v, id_col, bucket_bits, n_tables)
+    per_bucket = bucketed.groupBy("tbl", "bucket").applyInPandas(
+        _block_pairs_fn(threshold, id_col, "vec"),
+        "vec_a long, vec_b long, cosine_sim double",
+    )
+    # A pair colliding in k tables survives k buckets → one row after dedupe.
+    return per_bucket.dropDuplicates(["vec_a", "vec_b"])
 
-    def rademacher_sign(table: int, bit: int):
-        # ±1 from the parity of a 3-ary hash of (table, bit, dim index):
-        # a deterministic Rademacher random vector per (table, bit).
-        def f(x: Column, i: Column) -> Column:
-            h = F.xxhash64(F.lit(table), F.lit(bit), i)
-            return x * F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(
-                F.lit(-1.0)
+
+def _lsh_buckets_numpy(
+    v: DataFrame, id_col: str, bucket_bits: int, n_tables: int
+) -> DataFrame:
+    """(id, vec) → (id, tbl, bucket) sign-projection rows, one numpy matmul
+    per Arrow batch. The hyperplane matrix is Rademacher ±1 derived from
+    splitmix64 over the flat (table, bit, dim) counter — fully deterministic
+    with no RNG state, so every executor materializes the identical planes."""
+    import numpy as np
+    import pandas as pd
+
+    def planes_for(dim: int) -> "np.ndarray":
+        x = np.arange(n_tables * bucket_bits * dim, dtype=np.uint64)
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        signs = np.where((z & np.uint64(1)).astype(bool), 1.0, -1.0)
+        return signs.reshape(n_tables * bucket_bits, dim).T  # (dim, T*bits)
+
+    weights = (np.uint64(1) << np.arange(bucket_bits, dtype=np.uint64)).astype(
+        np.int64
+    )
+
+    def batch(frames):
+        planes = None
+        for pdf in frames:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            if planes is None:
+                planes = planes_for(mat.shape[1])
+            bits = (mat @ planes) >= 0  # (B, T*bits)
+            per_table = bits.reshape(len(pdf), n_tables, bucket_bits)
+            buckets = per_table @ weights  # (B, T)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
             )
 
-        return f
+    return v.mapInPandas(batch, f"{id_col} long, tbl int, bucket long")
 
-    idx = F.sequence(F.lit(0), F.size(F.col("vec")) - 1)
 
-    def table_bucket(table: int) -> Column:
-        bucket = F.lit(0).cast("long")
-        for b in range(bucket_bits):
-            proj = F.aggregate(
-                F.zip_with(F.col("vec"), idx, rademacher_sign(table, b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+def _pairs_cosine_numpy(
+    pairs_with_vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """(vec_a, vec_b, va, vb) → (vec_a, vec_b, cosine_sim ≥ threshold) via a
+    vectorized per-batch numpy dot — the Arrow fast lane for pair
+    verification (same 6-dp rounding as the JVM/SQL paths)."""
+    import numpy as np
+    import pandas as pd
+
+    def batch(frames):
+        for pdf in frames:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["va"]), dtype=np.float64)
+            b = np.array(list(pdf["vb"]), dtype=np.float64)
+            sims = np.round(
+                np.einsum("ij,ij->i", a, b)
+                / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)),
+                6,
             )
-            bucket = bucket + F.when(
-                proj >= 0, F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return bucket
+            keep = sims >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cosine_sim": sims[keep],
+                }
+            )
 
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
-    bucketed = (
-        v.select(F.col(id_col), F.col("vec"), F.explode(tables).alias("tb"))
-        .select(
-            F.col(id_col),
-            F.col("vec"),
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
-        )
-        .localCheckpoint(eager=True)  # self-joined; GC-released, not persist()
-    )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (
-        l.join(
-            r,
-            on=[
-                F.col("l.tbl") == F.col("r.tbl"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("vec_a"),
-            F.col(f"r.{id_col}").alias("vec_b"),
-            F.col("l.vec").alias("va"),
-            F.col("r.vec").alias("vb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("vec_a", "vec_b", "cosine_sim")
+    return pairs_with_vecs.mapInPandas(
+        batch, "vec_a long, vec_b long, cosine_sim double"
     )
 
 
@@ -359,22 +399,19 @@ def all_pairs_cosine(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold — the ground-truth baseline the LSH
-    recall harness compares against. Deliberately O(n²) (broadcast
-    nested-loop self-join): run it on model-sized corpora (the harness's
-    query/eval sets) or per-block, never on the full 100 TB corpus — that is
-    precisely what :func:`near_dup_by_cosine` exists to avoid.
+    recall harness compares against. Deliberately O(n²): run it on
+    model-sized corpora (the harness's query/eval sets) or per-block, never
+    on the full 100 TB corpus — that is precisely what
+    :func:`near_dup_by_cosine` exists to avoid. Delegates to the
+    single-block numpy matmul lane (one BLAS call beats n²/2 interpreted
+    higher-order-function folds by an order of magnitude at harness sizes).
     """
-    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    l, r = v.alias("l"), v.alias("r")
-    return (
-        l.join(broadcast(r), F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select(
-            F.col(f"l.{id_col}").alias("vec_a"),
-            F.col(f"r.{id_col}").alias("vec_b"),
-            "cosine_sim",
-        )
+    return blocked_near_dup_numpy(
+        corpus.withColumn("__all", F.lit(0)),
+        block_col="__all",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

@@ -27,6 +27,8 @@ from ..sources.webhook_mapping import (
     NORMALIZED_CTE,
     NOW_ANCHOR,
     NOW_ANCHOR_DATE,
+    WEBHOOKS_CTE,
+    _KNOWN_TZ_SQL,
     events_as_webhooks,
 )
 
@@ -63,6 +65,66 @@ def q_adapter_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P12: full adapter projection (outbound gate, metric classifier, tz
     business date, deterministic ids, notes)."""
     return normalized_fact(spark, sf_dir).drop("EventTime")
+
+
+@register(
+    "fact_error_log",
+    f"""
+WITH {WEBHOOKS_CTE},
+flags AS (
+  SELECT
+    'ALOWARE:' || coalesce(CAST(ext_id AS VARCHAR), uuid_v4,
+                           CAST(epoch_ms(receivedAt) AS VARCHAR)) AS EventID,
+    source,
+    strftime(receivedAt, '%Y-%m-%d') AS received_date,
+    CASE
+      WHEN lower(coalesce(event_name,'')) LIKE '%outbound%'
+        OR lower(coalesce(event_name,'')) LIKE '%outgoing%' THEN TRUE
+      WHEN lower(coalesce(event_name,'')) LIKE '%inbound%' THEN FALSE
+      WHEN direction = 2 THEN TRUE
+      WHEN direction = 1 THEN FALSE
+      ELSE FALSE
+    END AS is_outbound,
+    CASE
+      WHEN lower(coalesce(event_name,'')) LIKE '%text%'
+        OR lower(coalesce(event_name,'')) LIKE '%sms%'
+        OR type_code = 2 THEN 'TEXTS'
+      WHEN lower(coalesce(event_name,'')) LIKE '%call%'
+        OR type_code = 1 THEN 'CALLS'
+    END AS MetricID,
+    created_at_raw IS NOT NULL
+      AND try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%S') IS NULL
+      AND try_strptime(created_at_raw, '%Y-%m-%d %H:%M:%S') IS NULL AS parse_failed,
+    tz IS NOT NULL AND tz NOT IN {{KNOWN_TZ}} AS bad_tz,
+    owner_id IS NULL AND user_id IS NULL AS agent_unknown
+  FROM webhooks
+)
+SELECT EventID, source, 'NOT_OUTBOUND' AS error_code, 'ERROR' AS severity, received_date
+FROM flags WHERE NOT is_outbound
+UNION ALL
+SELECT EventID, source, 'UNCLASSIFIED_METRIC', 'ERROR', received_date
+FROM flags WHERE is_outbound AND MetricID IS NULL
+UNION ALL
+SELECT EventID, source, 'BAD_TIMESTAMP', 'WARN', received_date
+FROM flags WHERE parse_failed
+UNION ALL
+SELECT EventID, source, 'BAD_TIMEZONE', 'WARN', received_date
+FROM flags WHERE bad_tz
+UNION ALL
+SELECT EventID, source, 'AGENT_UNKNOWN', 'WARN', received_date
+FROM flags WHERE agent_unknown
+""".replace("{KNOWN_TZ}", _KNOWN_TZ_SQL),
+)
+def q_fact_error_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FactErrorLog dead-letter routing (operators/errors.py): one row per
+    (event, error/warn code) for every webhook the adapter drops or
+    degrades — the ingestion-error table the reference leaves as an open
+    question (schema design doc §9.4)."""
+    from ..operators.errors import route_dead_letters
+
+    return route_dead_letters(
+        events_as_webhooks(load_table(spark, sf_dir, "events"))
+    )
 
 
 @register(
