@@ -60,73 +60,72 @@ def _wrap(fn: registry.Query) -> registry.Query:
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries() in
-# iteration order. Round-4 rotation policy: (a) the 13 queries whose round-3
-# rows errored on the testdata timestamp_ntz change (fixed in
-# sources/readers.load_table) need a fresh green verdict; (b) every query
-# whose code changed this round (portable SimHash + its new oracle, the
-# multi-table LSH rewrite, the two new recall-harness queries, and the
-# persist→localCheckpoint conversions under the dedup/cluster family); (c)
-# the round-1-only-green backlog (unchanged code, but per the driver contract
-# their verdicts age out). 13 + 9 + 28 = 50; the 7 deferred stale entries
-# (time_filter_yesterday/last_week/this_week/last_month/this_month,
-# value_percentiles, hubspot_stub — trivial or same-function-family as
-# in-window entries) rotate to the FRONT of round 5. Everything green in
-# round 3 with unchanged code follows after rank 50; tools/check_oracle.py
-# still sweeps all entries regardless of order.
+# iteration order. Round-5 rotation policy: (a) never-verified / repaired /
+# round-1-stale entries first — fact_error_log (first-ever driver row for the
+# dead-letter operator), the two LSH queries repaired this round (the
+# _block_pairs_fn fix), the 7 entries deferred from round 4, and the two new
+# sketch error-bound contract rows; (b) the round-3-green backlog (verdicts
+# age out after two rounds — every r3-green entry gets a fresh row); (c) the
+# declared no-oracle tier, refreshed rows-only; (d) queries whose upstream
+# code changed this round (similarity.py pair kernel → the cluster family;
+# top-k limit form → frequent_tokens/q10/q15). Everything green in round 4
+# with unchanged code follows after rank 50; tools/check_oracle.py still
+# sweeps all entries regardless of order.
 _DRIVER_PRIORITY = [
-    # -- (a) round-3 NTZ casualties, re-verified on the fixed reader ----------
-    "adapter_normalize",
-    "within_batch_dedup",
-    "ledger_gate",
-    "roster_gate",
-    "ingest_pipeline_full",
-    "daily_rollup",
-    "pace_color",
-    "star_join_enriched",
-    "dim_shift_sync",
-    "events_in_shift",
-    "multi_source_union",
-    "cumulative_agent_counts",
-    "sessionize_events",
-    # -- (b) code changed this round ------------------------------------------
-    "simhash_near_dup",        # md5-portable fingerprint + new full oracle
-    "ann_ivf_recall",          # new: recall harness (exact side oracled)
-    "embedding_lsh_recall",    # new: recall harness (exact side oracled)
-    "embedding_near_dup_lsh",  # multi-table Rademacher LSH rewrite
-    "dedup_minhash_lsh",       # localCheckpoint conversion
-    "dedup_ngram_jaccard",     # localCheckpoint conversion
-    "dup_clusters",            # consumes the converted pair generators
-    "semantic_dup_clusters",
-    "dedup_survivors",
-    # -- (c) round-1-only-green backlog ---------------------------------------
-    "time_filter_today",
-    "time_filter_custom_range",
-    "goal_attainment",
-    "dim_hints",
-    "dim_date_seed",
-    "dim_metric_sync",
-    "ensure_dims_missing_dates",
-    "run_counters",
-    "ledger_update",
-    "asof_last_purchase",
-    "frequent_tokens",
-    "region_revenue",
-    "salted_metric_rollup",
-    "top_customers_per_nation",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_cheapest_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_delta",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q9_profit_by_nation",
+    # -- (a) never-verified / repaired / stale-first --------------------------
+    "fact_error_log",          # first driver row (registered r4, oracle-green in pytest)
+    "embedding_lsh_recall",    # repaired: _block_pairs_fn now defined
+    "embedding_near_dup_lsh",  # repaired: _block_pairs_fn now defined
+    "time_filter_yesterday",
+    "time_filter_this_week",
+    "time_filter_last_week",
+    "time_filter_this_month",
+    "time_filter_last_month",
+    "value_percentiles",
+    "hubspot_stub",
+    "approx_distinct_agents_check",    # new: HLL 5%-error contract row
+    "value_percentiles_approx_check",  # new: t-digest 1%-rank-error contract row
+    # -- (b) round-3-green backlog (verdicts aging out) -----------------------
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "corpus_shards",
+    "corpus_stats_by_source",
+    "decontamination_flags",
+    "dedup_exact",
+    "dim_agent_sync",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "lang_id",
+    "multimodal_features",
+    "quality_filter",
+    "quality_scores",
+    "repetition_stats",
+    "rollup_grouping_sets",
+    "sequence_packing",
+    "stratified_sample",
+    "token_counts",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_customers",
+    # -- (c) declared no-oracle tier, rows-only refresh -----------------------
+    "approx_distinct_agents",
+    "value_percentiles_approx",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "multimodal_real_decode",
+    # -- (d) upstream code changed this round ---------------------------------
+    "semantic_dup_clusters",   # consumes the similarity pair kernels
+    "ann_ivf_recall",          # similarity.py changed this round
+    "frequent_tokens",         # top-k limit form
     "tpch_q10_returned_revenue",
-    "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_variety",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_part_suppliers",
+    "dedup_minhash_lsh",       # dedup.py cache-discipline follow-up
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -19,71 +19,10 @@ from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
 from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
 from quill_agent_dashboard_pbi_etl_spark.session import get_spark
 
-# Representative spread: ingest pipeline, dedup/gates, analytics, TPC-H-shaped
-# joins/aggs, and the north-star extension ops.
-HEADLINE = [
-    "ingest_pipeline_full",
-    "adapter_normalize",
-    "within_batch_dedup",
-    "ledger_gate",
-    "roster_gate",
-    "daily_rollup",
-    "salted_metric_rollup",
-    "pace_color",
-    "star_join_enriched",
-    "sessionize_events",
-    "rollup_grouping_sets",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_delta",
-    "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_revenue",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q2_cheapest_supplier",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q16_supplier_part_variety",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_part_suppliers",
-    "tpch_q8_market_share",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_idle_customers",
-    "region_revenue",
-    "top_customers_per_nation",
-    "asof_last_purchase",
-    "events_in_shift",
-    "value_percentiles",
-    "cumulative_agent_counts",
-    "multi_source_union",
-    "frequent_tokens",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dup_clusters",
-    "stratified_sample",
-    "corpus_shards",
-    "quality_scores",
-    "quality_filter",
-    "repetition_stats",
-    "decontamination_flags",
-    "sequence_packing",
-    "corpus_stats_by_source",
-    "lang_id",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "multimodal_features",
-    "simhash_near_dup",
-    "embedding_near_dup_lsh",
-    "ann_ivf_recall",
-    "embedding_lsh_recall",
-]
+# Bench the FULL registry (round-5 directive: no silent selection — a
+# slow query can't hide by being dropped from a hand-picked list). Order is
+# registry registration order; every entry in queries() is timed.
+HEADLINE = list(QUERIES)
 
 
 def main() -> None:

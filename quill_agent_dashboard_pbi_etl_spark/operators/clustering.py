@@ -10,7 +10,9 @@ Scale posture (100 TB):
 - ``connected_components`` is iterative min-label propagation over DataFrame
   joins — every round is one equi-join + one groupBy (shuffle on node id),
   never a cross join, and lineage is truncated per round with
-  ``localCheckpoint`` so the plan does not grow with iterations. Near-dup
+  ``materialize.pin`` (default eager ``localCheckpoint``; ``spark.graft.pin``
+  selects reliable checkpointing on preemptible clusters) so the plan does
+  not grow with iterations. Near-dup
   graphs are dense little cliques (diameter 1-3), so the loop converges in
   2-4 rounds; ``max_iter`` caps pathological chains. On a real cluster the
   same loop runs with checkpointing to HDFS/S3; the label frontier is tiny
@@ -28,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .materialize import pin
 
 
 def connected_components(
@@ -60,7 +64,7 @@ def connected_components(
     # symmetric closure is an explode of [(a,b),(b,a)], NOT a self-union —
     # a union's two branches would each execute the caller's edge DAG inside
     # this one checkpoint action.
-    sym = (
+    sym = pin(
         e.select(
             F.explode(
                 F.array(
@@ -70,13 +74,11 @@ def connected_components(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for i in range(max_iter):
@@ -106,11 +108,13 @@ def connected_components(
         # node ids, so label[mid_label] == mid_label and the join is an
         # identity — pure cost.
         if i == 0:
-            step = propagated.select(
-                "node", "old_label", F.col("mid_label").alias("label")
-            ).localCheckpoint(eager=True)
+            step = pin(
+                propagated.select(
+                    "node", "old_label", F.col("mid_label").alias("label")
+                )
+            )
         else:
-            step = (
+            step = pin(
                 propagated.join(
                     labels.select(
                         F.col("node").alias("mid_label"), F.col("label").alias("jumped")
@@ -122,7 +126,6 @@ def connected_components(
                     "old_label",
                     F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
                 )
-                .localCheckpoint(eager=True)
             )
         labels = step.select("node", "label")
         # Round 1 changes labels for any graph with at least one edge —

@@ -24,6 +24,8 @@ import time
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import pin
+
 
 def dedup_key(source: Column, ext_event_id: Column) -> Column:
     """D2: ``"{source}:{eventId}"`` (ingest/idempotency.ts:3-5)."""
@@ -170,8 +172,8 @@ def ledger_update_atomic(
             ledger = spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path)
         except Exception:  # first writer bootstraps an empty ledger
             ledger = spark.createDataFrame([], LEDGER_SCHEMA)
-        survivors = ledger_gate(events, ledger, key_col, now_epoch).localCheckpoint(
-            eager=True
+        survivors = pin(
+            ledger_gate(events, ledger, key_col, now_epoch), required=True
         )
         new_entries = ledger_new_entries(survivors, seen_at, key_col, ttl_days)
         new_entries.write.mode("append").parquet(ledger_path)
@@ -456,13 +458,14 @@ def minhash_lsh_pairs(
     docs) is the classic skew case AQE's skew-join splitting handles.
     """
     # Materialize the narrow bucket table: the self-join below would otherwise
-    # recompute the whole shingle→signature pipeline for BOTH sides. Eager
-    # localCheckpoint instead of persist(): blocks are released when the DF is
-    # GC'd, so a long session running many queries doesn't accumulate cached
-    # partitions (persist() entries live until the session dies).
-    buckets = minhash_band_buckets(
-        docs, text_col, id_col, num_hashes, bands, shingle_n
-    ).localCheckpoint(eager=True)
+    # recompute the whole shingle→signature pipeline for BOTH sides. pin()
+    # (default: eager localCheckpoint) instead of persist(): blocks are
+    # released when the DF is GC'd, so a long session running many queries
+    # doesn't accumulate cached partitions; spark.graft.pin selects reliable
+    # checkpointing on preemptible clusters (operators/materialize.py).
+    buckets = pin(
+        minhash_band_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -529,14 +532,13 @@ def ngram_jaccard_pairs(
             docs, text_col, id_col, shingle_n, threshold
         )
 
-    sh = (
+    sh = pin(  # joined 3× below; GC-released by default, strategy-selectable
         ensure_min_partitions(docs)
         .select(
             F.col(id_col),
             F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
-        .localCheckpoint(eager=True)  # joined 3× below; GC-released, not persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     index = sh
@@ -606,7 +608,7 @@ def _ngram_jaccard_pairs_ppjoin(
     # Rare-first global order: sort each doc's shingles by (df, h). Rare
     # shingles discriminate, so prefixes of truly-similar docs collide while
     # unrelated docs' prefixes (their rarest features) do not.
-    prep = (
+    prep = pin(  # prefix index + 2 verify joins reuse it
         sh.join(df_tab, "h")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("o"))
@@ -615,7 +617,6 @@ def _ngram_jaccard_pairs_ppjoin(
             F.transform("o", lambda x: x["h"]).alias("hs"),
             F.size("o").alias("set_size"),
         )
-        .localCheckpoint(eager=True)  # prefix index + 2 verify joins reuse it
     )
     prefix_len = (
         F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
@@ -740,11 +741,13 @@ def simhash_near_pairs(
     the bucket is the top ``prefix_bits`` bits of the fingerprint (taken from
     ``simhash_hi``), and Hamming distance is the sum of per-half popcounts.
     """
-    bucketed = fps.withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash_hi"), 32 - prefix_bits)
-    ).localCheckpoint(eager=True)  # self-joined below; materialize the
-    # fingerprint pass once, with blocks released when the DF is GC'd (a
-    # persist() here outlives the query and leaks across a bench session)
+    bucketed = pin(  # self-joined below; materialize the fingerprint pass
+        # once, with blocks released when the DF is GC'd (a persist() here
+        # outlives the query and leaks across a bench session)
+        fps.withColumn(
+            "bucket", F.shiftrightunsigned(F.col("simhash_hi"), 32 - prefix_bits)
+        )
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi"))

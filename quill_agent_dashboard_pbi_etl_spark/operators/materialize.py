@@ -1,0 +1,52 @@
+"""Mid-plan materialization with an explicit reliability/speed dial.
+
+Several operators reuse an expensive intermediate (near-dup candidate pairs
+joined 2-3×, iterative label propagation whose plan would otherwise grow per
+iteration). They pin that intermediate through :func:`pin`, whose strategy is
+a session conf rather than a hardcoded ``localCheckpoint``:
+
+``spark.graft.pin`` =
+  ``localCheckpoint`` (default)
+      Eager local checkpoint: lineage-truncating, blocks GC-released when the
+      DataFrame is collected (no persist leak), but UNREPLICATED — stored only
+      on the executors that computed them. On executor loss (spot kill, OOM,
+      dynamic-allocation decommission) the data is unrecoverable and the job
+      fails instead of recomputing. Right for single-node dev/bench and for
+      clusters without preemption.
+  ``checkpoint``
+      Reliable checkpoint to ``sparkContext.setCheckpointDir`` storage
+      (HDFS/object store): survives executor loss — the 100 TB posture on
+      preemptible fleets. Requires the checkpoint dir to be configured;
+      costs one write+read of the intermediate.
+  ``none``
+      Pass through: keeps full lineage (always recomputable — maximum fault
+      tolerance) at the cost of recomputing the intermediate per reuse and of
+      per-iteration plan growth in iterative operators. Correctness-safe
+      everywhere.
+
+This makes the executor-loss trade-off a deployment choice instead of a
+hidden property of the operator internals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+PIN_CONF = "spark.graft.pin"
+
+
+def pin(df: DataFrame, required: bool = False) -> DataFrame:
+    """Materialize ``df`` per the session's ``spark.graft.pin`` strategy.
+
+    ``required=True`` marks sites where materialization is a CORRECTNESS
+    contract, not an optimization (e.g. the ledger gate must snapshot its
+    survivors before the ledger lock releases, or a later lazy execution
+    would observe a mutated ledger): there ``none`` falls back to
+    ``localCheckpoint`` instead of passing through.
+    """
+    strategy = df.sparkSession.conf.get(PIN_CONF, "localCheckpoint")
+    if strategy == "none" and not required:
+        return df
+    if strategy == "checkpoint":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

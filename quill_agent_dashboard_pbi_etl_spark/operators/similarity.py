@@ -199,16 +199,57 @@ def near_dup_by_cosine(
         "vec_a long, vec_b long, cosine_sim double",
     )
     # A pair colliding in k tables survives k buckets → one row after dedupe.
+    # vec_a < vec_b is guaranteed by the per-bucket kernel, so the same pair
+    # from different tables collapses to one row here.
     return per_bucket.dropDuplicates(["vec_a", "vec_b"])
+
+
+def _block_pairs_fn(threshold: float, id_col: str, vec_col: str):
+    """Factory for the per-bucket pair-verification kernel used by
+    :func:`near_dup_by_cosine`: returns an ``applyInPandas`` function that,
+    given one (tbl, bucket) group of (id, vec) rows, emits every pair with
+    rounded cosine ≥ ``threshold`` as (vec_a, vec_b, cosine_sim) with
+    ``vec_a < vec_b`` — the same dense-matmul kernel as
+    :func:`blocked_near_dup_numpy`, parameterized by column names so the LSH
+    path can reuse it. Ids are sorted before the upper-triangular sweep, so
+    the ordering invariant holds and cross-table duplicates of a pair are
+    byte-identical rows."""
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["vec_a", "vec_b", "cosine_sim"]
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(columns=cols)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][keep]],
+                "vec_b": ids[iu[1][keep]],
+                "cosine_sim": sims[iu][keep],
+            }
+        )
+
+    return block_pairs
 
 
 def _lsh_buckets_numpy(
     v: DataFrame, id_col: str, bucket_bits: int, n_tables: int
 ) -> DataFrame:
-    """(id, vec) → (id, tbl, bucket) sign-projection rows, one numpy matmul
-    per Arrow batch. The hyperplane matrix is Rademacher ±1 derived from
-    splitmix64 over the flat (table, bit, dim) counter — fully deterministic
-    with no RNG state, so every executor materializes the identical planes."""
+    """(id, vec) → (id, tbl, bucket, vec) sign-projection rows, one numpy
+    matmul per Arrow batch. The vector rides along (×n_tables fan-out) so each
+    (tbl, bucket) group can verify its candidate pairs locally without a
+    second join back to the corpus — one shuffle total. The hyperplane matrix
+    is Rademacher ±1 derived from splitmix64 over the flat (table, bit, dim)
+    counter — fully deterministic with no RNG state, so every executor
+    materializes the identical planes."""
     import numpy as np
     import pandas as pd
 
@@ -237,15 +278,19 @@ def _lsh_buckets_numpy(
             per_table = bits.reshape(len(pdf), n_tables, bucket_bits)
             buckets = per_table @ weights  # (B, T)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = pdf["vec"].to_numpy(dtype=object)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(ids, n_tables),
                     "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
                     "bucket": buckets.reshape(-1),
+                    "vec": np.repeat(vecs, n_tables),
                 }
             )
 
-    return v.mapInPandas(batch, f"{id_col} long, tbl int, bucket long")
+    return v.mapInPandas(
+        batch, f"{id_col} long, tbl int, bucket long, vec array<double>"
+    )
 
 
 def _pairs_cosine_numpy(

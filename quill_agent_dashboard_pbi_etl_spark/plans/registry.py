@@ -22,6 +22,7 @@ from pyspark.sql.functions import broadcast
 from ..functions import text as T
 from ..functions.adapter import normalize_webhooks
 from ..operators import dedup, gates, rollups, similarity, skew, star
+from ..operators.materialize import pin
 from ..sources.readers import load_table
 from ..sources.webhook_mapping import (
     NORMALIZED_CTE,
@@ -390,11 +391,12 @@ def q_ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The fact feeds three branches (dedup, the synthetic ledger, the
     # synthetic roster); materialize the one normalize pass instead of paying
-    # the expression-heavy adapter chain 3×. Eager localCheckpoint, not
-    # persist(): blocks release on GC instead of living for the whole session.
-    # In production the ledger/roster are separate small tables and no cache
-    # is needed.
-    fact = normalized_fact(spark, sf_dir).localCheckpoint(eager=True)
+    # the expression-heavy adapter chain 3×. pin() (default eager
+    # localCheckpoint): blocks release on GC instead of living for the whole
+    # session; spark.graft.pin selects reliable checkpointing on preemptible
+    # clusters. In production the ledger/roster are separate small tables and
+    # no cache is needed.
+    fact = pin(normalized_fact(spark, sf_dir))
     kept = dedup.keep_first(fact, ["EventID"], [F.col("EventTime"), F.col("Notes")])
     ledger = fact.filter(
         F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
@@ -555,9 +557,9 @@ def q_pace_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     2024-01-20 12:00 anchor so the query is deterministic."""
     fact = normalized_fact(spark, sf_dir)
     # The rollup is reused twice (attainment + the shift-dim agent list);
-    # materialize the few-thousand-row aggregate (GC-released localCheckpoint)
+    # materialize the few-thousand-row aggregate (GC-released by default)
     # instead of re-normalizing 100% of the fact scan for the second branch.
-    daily = rollups.daily_rollup(fact).localCheckpoint(eager=True)
+    daily = pin(rollups.daily_rollup(fact))
     dim_metric = star.build_dim_metric(spark)
     att = daily.join(broadcast(dim_metric), "MetricID").select(
         "AgentID",
@@ -765,6 +767,39 @@ def q_approx_distinct_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.groupBy("MetricID").agg(
         F.approx_count_distinct("AgentID", 0.01).alias("approx_agents"),
         F.count_distinct("AgentID").alias("exact_agents"),
+    )
+
+
+@register(
+    "approx_distinct_agents_check",
+    f"""
+WITH {NORMALIZED_CTE}
+SELECT MetricID,
+       CAST(count(DISTINCT AgentID) AS BIGINT) AS exact_agents,
+       TRUE AS err_ok
+FROM normalized GROUP BY MetricID
+""",
+)
+def q_approx_distinct_agents_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound contract for the HLL sketch (same pattern as
+    ann_ivf_recall): exact distinct agents per metric is oracle-verified, and
+    ``err_ok`` asserts the HyperLogLog++ estimate (rsd 0.01) lands within 5%
+    relative error of the exact count — so a sketch regression flips the
+    boolean and fails the driver's hash check instead of hiding in the
+    rows-only tier. Both aggregates ride one hash-agg pass; the exact
+    count_distinct is the harness cost, not the production path
+    (approx_distinct_agents is the production query)."""
+    fact = normalized_fact(spark, sf_dir)
+    return fact.groupBy("MetricID").agg(
+        F.count_distinct("AgentID").alias("exact_agents"),
+        (
+            F.abs(
+                F.approx_count_distinct("AgentID", 0.01)
+                - F.count_distinct("AgentID")
+            )
+            / F.count_distinct("AgentID")
+            <= 0.05
+        ).alias("err_ok"),
     )
 
 
@@ -1628,11 +1663,11 @@ SELECT token, doc_freq FROM (
 )
 def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: top-20 tokens by document frequency (exact). Explode
-    distinct per-doc tokens -> count -> global top-k; only (token, count)
-    pairs shuffle, and the final top-20 is a single-reducer take over
-    partial top-k. At 100 TB swap exact for count-min + a candidate pass."""
-    from pyspark.sql import Window
-
+    distinct per-doc tokens -> count -> global top-k as ``orderBy().limit()``
+    (TakeOrderedAndProject: per-partition top-20 heaps, driver merges 20×P
+    rows — no single-partition sort exchange and no reliance on the
+    WindowGroupLimit optimizer rule). At 100 TB swap exact for count-min +
+    a candidate pass."""
     from ..functions.text import tokens as tok_arr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1640,10 +1675,9 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(tok_arr(F.col("text")))).alias("token")
     ).filter(F.col("token") != "")
     counts = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        counts.orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(20)
         .select("token", "doc_freq")
     )
 
@@ -1667,10 +1701,8 @@ SELECT c_custkey, c_name, n_name, revenue FROM (
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped returned-item revenue: top-20 customers by revenue
     lost to returns. The returnflag filter pushes into the lineitem scan;
-    the global top-20 runs as partial top-k per partition before the final
-    single-reducer take (WindowGroupLimit)."""
-    from pyspark.sql import Window
-
+    the global top-20 is ``orderBy().limit()`` (TakeOrderedAndProject —
+    per-partition heaps, no single-partition sort exchange)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -1687,10 +1719,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
 
@@ -1785,10 +1816,9 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped top supplier: aggregate view, global-max scalar
-    'subquery' as a rank-1 window over the (small) aggregate — ties all kept,
-    exactly the SQL's = max semantics."""
-    from pyspark.sql import Window
-
+    'subquery' as a broadcast join against the aggregate's max — ties all
+    kept, exactly the SQL's = max semantics, with no global-window sort
+    exchange (a ``limit(1)`` would drop ties; the max-join keeps them)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1798,8 +1828,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = revenue.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.join(
+        broadcast(mx), F.col("total_revenue") == F.col("mx")
+    ).drop("mx")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(
         broadcast(top.select("supplier_no", "total_revenue")),
@@ -1902,6 +1934,63 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[1].alias("p95"),
         F.col("pcts")[2].alias("p99"),
         "n",
+    )
+
+
+@register(
+    "value_percentiles_approx_check",
+    """
+SELECT event_type,
+       round(quantile_cont("value", 0.5), 6) AS p50,
+       round(quantile_cont("value", 0.95), 6) AS p95,
+       round(quantile_cont("value", 0.99), 6) AS p99,
+       TRUE AS err_ok
+FROM events GROUP BY event_type
+""",
+)
+def q_value_percentiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error contract for the t-digest sketch (ann_ivf_recall pattern):
+    exact p50/p95/p99 per event_type are oracle-verified, and ``err_ok``
+    asserts each approx_percentile estimate sits at a rank within 1% of its
+    target quantile — i.e. rank(approx_pXX)/n ∈ [q − 0.01, q + 0.01]. The
+    rank of each estimate is measured against the actual data (count of
+    values ≤ estimate), so the check is a true rank-error bound, not a
+    value-distance heuristic; accuracy 10000 guarantees ≤ 1e-4, so 0.01 only
+    trips on a genuine sketch regression."""
+    events = load_table(spark, sf_dir, "events")
+    sketch = events.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("ap"),
+    )
+    joined = events.join(F.broadcast(sketch), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        (
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("ap")[0]).cast("double"))
+                    - 0.5
+                )
+                <= 0.01
+            )
+            & (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("ap")[1]).cast("double"))
+                    - 0.95
+                )
+                <= 0.01
+            )
+            & (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("ap")[2]).cast("double"))
+                    - 0.99
+                )
+                <= 0.01
+            )
+        ).alias("err_ok"),
     )
 
 

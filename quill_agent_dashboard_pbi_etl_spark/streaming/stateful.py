@@ -164,8 +164,15 @@ def close_gap_sessions_auto(
     path), else the ``applyInPandasWithState`` v1 operator. Both emit the
     identical closed-session contract, so callers and tests are
     implementation-agnostic."""
-    impl = close_gap_sessions_v2 if state_v2_available() else close_gap_sessions
+    impl = selected_gap_session_impl()
     return impl(fact, gap_minutes, watermark_delay, time_col, key_col, id_col)
+
+
+def selected_gap_session_impl():
+    """The implementation :func:`close_gap_sessions_auto` will dispatch to in
+    this runtime — exposed so tests can assert WHICH path their environment
+    exercises instead of silently validating the fallback."""
+    return close_gap_sessions_v2 if state_v2_available() else close_gap_sessions
 
 
 def close_gap_sessions_v2(

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
     extract_features,
     synthesize_assets_from_documents,
@@ -191,24 +193,48 @@ def test_stateful_session_close(spark, tmp_path):
     }
 
 
-def test_stateful_session_close_v2(spark, tmp_path):
+def test_stateful_session_close_auto(spark, tmp_path):
     """Gap sessions through ``close_gap_sessions_auto`` — the deployment
     entry that probes the runtime and picks the state-v2 operator
     (``transformWithStateInPandas`` + RocksDB store) when ``google.protobuf``
     is available, else the ``applyInPandasWithState`` v1 operator. The
-    emitted closed-session contract is identical either way, so this test
-    validates whichever implementation the environment can run — in this dev
-    container (no protobuf wheel) that is the documented v1 fallback, on a
-    protobuf-equipped cluster it is the real v2 path."""
-    import json as _json
+    emitted closed-session contract is identical either way; this test also
+    asserts WHICH implementation the probe selected, so a silent fallback in
+    a protobuf-equipped environment fails instead of masquerading as v2
+    coverage. The real v2 wire path has its own protobuf-gated direct test
+    below."""
+    from quill_agent_dashboard_pbi_etl_spark.streaming import stateful
 
-    from quill_agent_dashboard_pbi_etl_spark.streaming.stateful import (
-        close_gap_sessions_auto,
-        state_v2_available,
+    v2 = stateful.state_v2_available()
+    selected = stateful.selected_gap_session_impl()
+    assert (selected is stateful.close_gap_sessions_v2) == v2
+    assert (selected is stateful.close_gap_sessions) == (not v2)
+    _run_gap_session_scenario(
+        spark, tmp_path, stateful.close_gap_sessions_auto, use_rocksdb=v2
     )
 
-    close_gap_sessions_v2 = close_gap_sessions_auto
-    v2 = state_v2_available()
+
+def test_stateful_session_close_v2_direct(spark, tmp_path):
+    """The state-v2 operator (``transformWithStateInPandas`` + RocksDB)
+    called DIRECTLY — skipped (visibly, not silently) where the protobuf
+    wire dependency is absent, so protobuf-equipped environments always
+    exercise the real v2 path regardless of what the auto probe would do."""
+    pytest.importorskip("google.protobuf")
+    from quill_agent_dashboard_pbi_etl_spark.streaming.stateful import (
+        close_gap_sessions_v2,
+    )
+
+    _run_gap_session_scenario(
+        spark, tmp_path, close_gap_sessions_v2, use_rocksdb=True
+    )
+
+
+def _run_gap_session_scenario(spark, tmp_path, close_fn, use_rocksdb):
+    """Shared two-batch gap-session scenario: within-batch gap close,
+    watermark-timeout close, and a cross-batch close restored from the
+    checkpoint. ``close_fn`` is any implementation of the closed-session
+    contract."""
+    import json as _json
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -217,7 +243,7 @@ def test_stateful_session_close_v2(spark, tmp_path):
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
-    if v2:  # state v2 runs only on the RocksDB provider
+    if use_rocksdb:  # state v2 runs only on the RocksDB provider
         spark.conf.set(
             provider_key,
             "org.apache.spark.sql.execution.streaming.state."
@@ -235,7 +261,7 @@ def test_stateful_session_close_v2(spark, tmp_path):
 
             stream = read_envelope_stream(spark, str(landing))
             fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
-            sessions = close_gap_sessions_v2(fact, gap_minutes=30)
+            sessions = close_fn(fact, gap_minutes=30)
             q = sessions.writeStream.foreachBatch(
                 lambda df, _b: df.write.mode("append").parquet(str(out))
             ).outputMode("update").option(
@@ -267,7 +293,7 @@ def test_stateful_session_close_v2(spark, tmp_path):
         }
 
         # Cross-batch: agent 42 at 16:00 closes its 14:00 session via the gap
-        # rule, with state and timers restored from the RocksDB checkpoint.
+        # rule, with state and timers restored from the checkpoint.
         with open(landing / "b2.json", "w") as f:
             f.write(_json.dumps(_envelope(5, created="2024-01-15T16:00:00")) + "\n")
         run_batch()

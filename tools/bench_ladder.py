@@ -1,0 +1,95 @@
+"""Measure the scale-ladder: quadratic-risk operators at sf0.1 → sf0.3 → sf1.
+
+Runs the near-dup family (the operators whose worst case is O(n²) pair
+explosion), the clustering consumer, the embedding-LSH path, and the ingest
+pipeline at each rung produced by tools/make_scale_ladder.py, and fits the
+scaling exponent  t ∝ n^p  between consecutive rungs (p = log(tᵢ₊₁/tᵢ) /
+log(nᵢ₊₁/nᵢ)). p ≈ 1 is the linear, bucketed ideal; p approaching 2 means
+candidate generation is degenerating to all-pairs at that data shape.
+
+Results land in SCALE_LADDER.json (consumed by SCALE.md's measured table).
+
+Usage: python tools/bench_ladder.py [ladder_root]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
+from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
+from quill_agent_dashboard_pbi_etl_spark.session import get_spark
+
+FAMILY = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_near_dup",
+    "dup_clusters",
+    "dedup_survivors",
+    "embedding_near_dup_lsh",
+    "ingest_pipeline_full",
+]
+
+RUNGS = [
+    ("sf0.1", "/root/testdata/sf0.1", 1.0),
+    ("sf0.3", None, 3.0),  # path filled from ladder_root
+    ("sf1", None, 10.0),
+]
+
+
+def main() -> None:
+    ladder_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
+    rungs = [
+        (name, path or os.path.join(ladder_root, name), scale)
+        for name, path, scale in RUNGS
+    ]
+    spark = get_spark(app_name="bench-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, dict[str, float]] = {q: {} for q in FAMILY}
+    rows: dict[str, dict[str, int]] = {q: {} for q in FAMILY}
+    for rung, sf_dir, _scale in rungs:
+        for q in FAMILY:
+            fn = QUERIES[q]
+            best = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                timings[q][rung] = round(best, 3)
+                rows[q][rung] = fn(spark, sf_dir).count()
+                spark.catalog.clearCache()
+            except Exception as exc:
+                timings[q][rung] = -1.0
+                rows[q][rung] = -1
+                print(f"ERR {q}@{rung}: {exc}", file=sys.stderr)
+            print(f"  {q}@{rung}: {timings[q][rung]}s rows={rows[q][rung]}")
+
+    exponents: dict[str, dict[str, float]] = {}
+    for q in FAMILY:
+        exponents[q] = {}
+        for (r1, _, s1), (r2, _, s2) in zip(rungs, rungs[1:]):
+            t1, t2 = timings[q].get(r1, -1), timings[q].get(r2, -1)
+            if t1 > 0 and t2 > 0:
+                exponents[q][f"{r1}->{r2}"] = round(
+                    math.log(t2 / t1) / math.log(s2 / s1), 2
+                )
+
+    out = {"timings_sec": timings, "rows": rows, "scaling_exponents": exponents}
+    with open("/root/repo/SCALE_LADDER.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"exponents": exponents}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

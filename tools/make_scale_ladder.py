@@ -1,0 +1,94 @@
+"""Synthesize scale-ladder rungs (sf0.3, sf1) from the driver's sf0.1 parquet.
+
+The driver ships sf0.001/0.01/0.1 only; SCALE.md's claims about the
+quadratic-risk operators (ngram-Jaccard, SimHash, MinHash-LSH, clustering)
+need MEASURED scaling above sf0.1. This tool replicates the three tables those
+operators consume with replica-salted identities so the statistical structure
+scales NEUTRALLY — n grows k×, duplicate structure grows k× (linear), and
+cross-replica pairs are never near-dups:
+
+* documents: every token gets a replica suffix (`tok` → `tokr3`). Token
+  renaming is a bijection per replica, so within-replica shingle sets — and
+  therefore every Jaccard/MinHash/SimHash relation — are isomorphic to the
+  original corpus, while cross-replica shingles can never collide. Naive
+  copying would instead make every doc an exact dup of its replicas, inflating
+  pair counts k²× and measuring the DATA, not the algorithm.
+* embeddings: vectors are rotated by k positions (norm- and
+  within-replica-cosine-preserving; cross-replica cosines decorrelate).
+* events: event ids are offset per replica (new unique webhook identities;
+  agents/timestamps unchanged, so per-key densities grow like real traffic
+  growth).
+
+Usage: python tools/make_scale_ladder.py [out_root]
+Writes <out_root>/sf0.3 and <out_root>/sf1 (default /root/repo/scale_ladder —
+gitignored; ~200 MB total).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 100_000_000  # > any sf1 id; keeps replica id spaces disjoint
+
+
+def build_rung(out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+
+    doc_parts = []
+    emb_parts = []
+    ev_parts = []
+    for k in range(copies):
+        if k == 0:
+            doc_parts.append(
+                f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet'"
+            )
+            emb_parts.append(
+                f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"
+            )
+            ev_parts.append(
+                f"SELECT event_id, ts, user_id, event_type, value, props FROM '{SRC}/events.parquet'"
+            )
+        else:
+            doc_parts.append(
+                f"""SELECT doc_id + {k * OFFSET} AS doc_id,
+                       regexp_replace(text, '([A-Za-z0-9]+)', '\\1r{k}', 'g') AS text,
+                       lang, source,
+                       CAST(length(regexp_replace(text, '([A-Za-z0-9]+)', '\\1r{k}', 'g')) AS BIGINT) AS n_chars
+                FROM '{SRC}/documents.parquet'"""
+            )
+            # rotate the vector by k dims: list_concat of the two slices
+            emb_parts.append(
+                f"""SELECT vec_id + {k * OFFSET} AS vec_id,
+                       embedding[{k + 1}:] || embedding[1:{k}] AS embedding,
+                       label
+                FROM '{SRC}/embeddings.parquet'"""
+            )
+            ev_parts.append(
+                f"""SELECT event_id + {k * OFFSET} AS event_id, ts, user_id,
+                       event_type, value, props
+                FROM '{SRC}/events.parquet'"""
+            )
+
+    for name, parts in (("documents", doc_parts), ("embeddings", emb_parts), ("events", ev_parts)):
+        sql = " UNION ALL ".join(parts)
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{dest}'").fetchone()[0]
+        print(f"  {dest}: {n} rows")
+
+
+def main() -> None:
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
+    for sf, copies in (("sf0.3", 3), ("sf1", 10)):
+        print(f"building {sf} ({copies}x sf0.1)")
+        build_rung(os.path.join(out_root, sf), copies)
+
+
+if __name__ == "__main__":
+    main()
