@@ -180,15 +180,50 @@ def ledger_update_atomic(
     return survivors
 
 
-def merge_capable(spark) -> bool:
-    """Capability probe: does this session's catalog support row-level
-    ``MERGE INTO``? Spark's built-in parquet/in-memory catalogs do not; the
-    probe checks for a Delta Lake or Apache Iceberg session extension, the
-    two mainstream MERGE-capable table formats."""
+def merge_capable(spark, ledger_table: str | None = None) -> bool:
+    """Capability probe: can this session run row-level ``MERGE INTO``
+    against ``ledger_table``? Two conditions, both required:
+
+    1. A Delta Lake or Apache Iceberg session extension is loaded (Spark's
+       built-in parquet/in-memory catalogs cannot MERGE).
+    2. When ``ledger_table`` is given, the TABLE ITSELF is a delta/iceberg
+       table (``DESCRIBE EXTENDED`` Provider row) — a parquet-provider table
+       living in a Delta-extended session would fail at MERGE time, so the
+       session check alone is not sufficient. A missing table is likewise
+       not MERGE-capable (MERGE requires an existing target).
+
+    NOTE (sandbox): neither delta-spark nor an Iceberg runtime jar is
+    available in this environment and dependency installs are disallowed, so
+    the MERGE branch of :func:`ledger_update_auto` is probe-covered and
+    SQL-text tested here, but executed end-to-end only on a cluster that
+    ships one of those formats. The fallback lock path is fully tested.
+    """
     exts = spark.conf.get("spark.sql.extensions", "") or ""
-    return (
-        "io.delta.sql.DeltaSparkSessionExtension" in exts
-        or "IcebergSparkSessionExtensions" in exts
+    if (
+        "io.delta.sql.DeltaSparkSessionExtension" not in exts
+        and "IcebergSparkSessionExtensions" not in exts
+    ):
+        return False
+    if ledger_table is None:
+        return True
+    return table_provider(spark, ledger_table) in ("delta", "iceberg")
+
+
+def table_provider(spark, table: str) -> str:
+    """The catalog provider of ``table`` (``"parquet"``, ``"delta"``, ...),
+    lower-cased, from the ``DESCRIBE EXTENDED`` Provider row; ``""`` when the
+    table does not exist or reports no provider."""
+    try:
+        rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    except Exception:
+        return ""
+    return next(
+        (
+            (r["data_type"] or "").strip().lower()
+            for r in rows
+            if (r["col_name"] or "").strip().lower() == "provider"
+        ),
+        "",
     )
 
 
@@ -244,7 +279,7 @@ def ledger_update_auto(
     spark = events.sparkSession
     if now_epoch is None:
         now_epoch = int(time.time())
-    if ledger_table is None or not merge_capable(spark):
+    if ledger_table is None or not merge_capable(spark, ledger_table):
         return ledger_update_atomic(
             events, ledger_path, seen_at, key_col, ttl_days, now_epoch
         )

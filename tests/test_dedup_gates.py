@@ -193,6 +193,27 @@ def test_ledger_merge_sql_claim_and_reclaim_branches():
     assert "writer_id" in sql  # claim-then-verify marker
 
 
+def test_merge_capable_rejects_non_merge_table_provider(spark, tmp_path):
+    """The probe must sniff the TARGET TABLE's provider, not just session
+    extensions: a parquet-provider table in a Delta-extended session fails at
+    MERGE time, so merge_capable(table) must be False for it. (No delta jar
+    ships in this sandbox, so the extension leg is exercised as
+    False-everywhere and the provider leg is tested directly.)"""
+    # lands in the session's default warehouse (spark-warehouse/, gitignored;
+    # the warehouse dir is a static conf and can't be pointed at tmp_path)
+    spark.createDataFrame([(1, "a")], "pk long, v string").write.mode(
+        "overwrite"
+    ).saveAsTable("probe_parquet_tbl")
+    try:
+        assert dedup.table_provider(spark, "probe_parquet_tbl") == "parquet"
+        assert dedup.table_provider(spark, "no_such_table_xyz") == ""
+        # parquet provider → not MERGE-capable even if the extension were live
+        assert dedup.merge_capable(spark, "probe_parquet_tbl") is False
+        assert dedup.merge_capable(spark, "no_such_table_xyz") is False
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe_parquet_tbl")
+
+
 def test_ledger_crash_between_gate_and_append(spark, tmp_path):
     """Crash injection: writer 1 dies holding the lock BEFORE appending its
     keys (simulated by an acquired-never-released lock). Writer 2 must break
