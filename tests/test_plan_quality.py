@@ -148,3 +148,24 @@ def test_corpus_shards_has_partial_aggregation(spark):
     assert p.count("HashAggregate") >= 2
     read_schema = [l for l in formatted(df).splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema and "lang" not in read_schema
+
+
+@pytest.mark.parametrize("name", ["frequent_tokens", "tpch_q10_returned_revenue"])
+def test_global_topk_is_take_ordered(spark, name):
+    """Global top-k queries must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver) — NOT a window over a
+    single-partition sort exchange, whose viability depends on the
+    WindowGroupLimit optimizer rule firing."""
+    df = QUERIES[name](spark, SF_SMALL)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+def test_q15_max_join_keeps_ties_no_global_sort(spark):
+    """tpch_q15's '= max' is a broadcast join against the aggregate max —
+    no global-window sort exchange, and tie rows all survive."""
+    df = QUERIES["tpch_q15_top_supplier"](spark, SF_SMALL)
+    p = plan_of(df)
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
