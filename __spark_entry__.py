@@ -68,9 +68,14 @@ def _wrap(fn: registry.Query) -> registry.Query:
 # age out after two rounds — every r3-green entry gets a fresh row); (c) the
 # declared no-oracle tier, refreshed rows-only; (d) queries whose upstream
 # code changed this round (similarity.py pair kernel → the cluster family;
-# top-k limit form → frequent_tokens/q10/q15). Everything green in round 4
-# with unchanged code follows after rank 50; tools/check_oracle.py still
-# sweeps all entries regardless of order.
+# top-k limit form → frequent_tokens/q10/q15) plus the two operators NEW
+# this round (Bloom ledger pre-gate — exact-result scan reduction — and the
+# count-min-sketch error-bound contract). dedup_minhash_lsh/_ngram_jaccard
+# (r4-green; their changed pin() path is exercised in-window by the cluster
+# family that consumes the same pinned pipelines) yield their slots to the
+# new rows. Everything green in round 4 with unchanged code follows after
+# rank 50; tools/check_oracle.py still sweeps all entries regardless of
+# order.
 _DRIVER_PRIORITY = [
     # -- (a) never-verified / repaired / stale-first --------------------------
     "fact_error_log",          # first driver row (registered r4, oracle-green in pytest)
@@ -124,8 +129,8 @@ _DRIVER_PRIORITY = [
     "frequent_tokens",         # top-k limit form
     "tpch_q10_returned_revenue",
     "tpch_q15_top_supplier",
-    "dedup_minhash_lsh",       # dedup.py cache-discipline follow-up
-    "dedup_ngram_jaccard",
+    "ledger_gate_bloom",         # new: Bloom pre-gate, exact-oracle (ledger_gate's)
+    "frequent_tokens_cms_check",  # new: CMS error-bound contract row
 ]
 
 

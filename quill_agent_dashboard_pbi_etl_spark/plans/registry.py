@@ -203,6 +203,47 @@ def q_ledger_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ledger_gate_bloom",
+    f"""
+WITH {NORMALIZED_CTE}, {_LEDGER_CTE}
+SELECT n.EventID, n.AgentID, n.FactDateKey, n.MetricID
+FROM normalized n
+WHERE n.EventID NOT IN (
+  SELECT pk FROM ledger
+  WHERE expiresAt >= CAST(epoch(TIMESTAMP '{NOW_ANCHOR}') AS BIGINT)
+)
+""",
+)
+def q_ledger_gate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 with the Bloom pre-filter (operators/dedup.ledger_gate_bloom):
+    identical output to ledger_gate — the Bloom stage only decides which
+    events must visit the exact anti-join — so it shares ledger_gate's
+    oracle verbatim. The scan-reduction path for 100 TB batches against a
+    TTL-bounded ledger."""
+    import datetime as dt
+
+    fact = normalized_fact(spark, sf_dir).withColumnRenamed("EventID", "dedup_key")
+    ledger = fact.filter(
+        F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
+    ).select(
+        F.col("dedup_key").alias("pk"),
+        F.col("EventTime").alias("seenAt"),
+        (F.unix_timestamp("EventTime") + 14 * 86400).alias("expiresAt"),
+    )
+    now_epoch = int(
+        dt.datetime.strptime(NOW_ANCHOR, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    survivors = dedup.ledger_gate_bloom(
+        fact, ledger, key_col="dedup_key", now_epoch=now_epoch
+    )
+    return survivors.select(
+        F.col("dedup_key").alias("EventID"), "AgentID", "FactDateKey", "MetricID"
+    )
+
+
+@register(
     "roster_gate",
     f"""
 WITH {NORMALIZED_CTE}
@@ -1679,6 +1720,65 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.orderBy(F.col("doc_freq").desc(), F.col("token"))
         .limit(20)
         .select("token", "doc_freq")
+    )
+
+
+@register(
+    "frequent_tokens_cms_check",
+    f"""
+SELECT token, doc_freq, TRUE AS est_ok FROM (
+  SELECT token, count(*) AS doc_freq,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (
+    SELECT DISTINCT doc_id, unnest(list_distinct(str_split({{_NORM}}, ' '))) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY token
+) WHERE rn <= 20
+""".replace("{_NORM}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+)
+def q_frequent_tokens_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound contract for the count-min sketch (operators/sketches.py,
+    same pattern as the HLL/t-digest contracts): the exact top-20 token
+    document-frequencies are oracle-verified, and ``est_ok`` asserts the CMS
+    point-estimate for each obeys the classic sandwich
+    ``true ≤ est ≤ true + (e/width)·N`` — an overestimate-only sketch whose
+    slack is bounded by total stream length, so a hashing or merge
+    regression flips the hash-checked boolean. The raw estimate is NOT
+    emitted (it is engine-specific); only the bound verdict is."""
+    from math import e as _e
+
+    from ..operators import sketches
+
+    from ..functions.text import tokens as tok_arr
+
+    depth, width = 4, 8192
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tok_arr(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    counters = sketches.cms_counters(tok, "token", depth, width)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(top, counters, "token", depth, width)
+    total = tok.agg(F.count("*").alias("__n"))
+    slack = F.ceil(F.lit(_e / width) * F.col("__n"))
+    return (
+        top.join(est, "token")
+        .crossJoin(broadcast(total))
+        .select(
+            "token",
+            "doc_freq",
+            (
+                (F.col("cms_est") >= F.col("doc_freq"))
+                & (F.col("cms_est") <= F.col("doc_freq") + slack)
+            ).alias("est_ok"),
+        )
     )
 
 

@@ -193,6 +193,50 @@ def test_ledger_merge_sql_claim_and_reclaim_branches():
     assert "writer_id" in sql  # claim-then-verify marker
 
 
+def test_bloom_no_false_negatives_and_sane_fpp(spark):
+    """Bloom contract: every inserted key is flagged maybe (NO false
+    negatives — this is what makes ledger_gate_bloom exact), and the false-
+    positive rate on disjoint keys stays near the design point (64 Kbit / 7
+    hashes / 1k keys → well under 5%)."""
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(1000)], "pk string")
+    bitmap = dedup.bloom_build(keys, "pk")
+    flagged = dedup.bloom_maybe_flag(keys, bitmap, "pk")
+    assert flagged.filter(~F.col("__bloom_maybe")).count() == 0
+
+    other = spark.createDataFrame([(f"X:{i}",) for i in range(2000)], "pk string")
+    fp = dedup.bloom_maybe_flag(other, bitmap, "pk").filter(
+        F.col("__bloom_maybe")
+    ).count()
+    assert fp / 2000 < 0.05
+
+
+def test_ledger_gate_bloom_equals_exact_gate(spark):
+    """The Bloom pre-gate must be a pure scan-reduction: its survivors are
+    row-identical to the exact anti-join gate, including expired-entry
+    readmission."""
+    events = spark.createDataFrame(
+        [(f"E:{i}", dt.datetime(2024, 1, 15, 12)) for i in range(200)],
+        "dedup_key string, ts timestamp",
+    )
+    now = 1705320000
+    ledger = spark.createDataFrame(
+        # E:0..49 live, E:50..59 expired (must NOT block)
+        [(f"E:{i}", dt.datetime(2024, 1, 10), now + 1000) for i in range(50)]
+        + [(f"E:{i}", dt.datetime(2023, 12, 1), now - 1000) for i in range(50, 60)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    exact = {
+        r.dedup_key
+        for r in dedup.ledger_gate(events, ledger, now_epoch=now).collect()
+    }
+    bloomed = {
+        r.dedup_key
+        for r in dedup.ledger_gate_bloom(events, ledger, now_epoch=now).collect()
+    }
+    assert bloomed == exact
+    assert len(exact) == 150  # 200 − 50 live
+
+
 def test_merge_capable_rejects_non_merge_table_provider(spark, tmp_path):
     """The probe must sniff the TARGET TABLE's provider, not just session
     extensions: a parquet-provider table in a Delta-extended session fails at
