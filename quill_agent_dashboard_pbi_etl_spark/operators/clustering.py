@@ -75,7 +75,11 @@ def connected_components(
         )
         .select("p.a", "p.b")
     )
-    labels = pin(
+    # Identity labels stay LAZY: they are consumed exactly once, inside round
+    # 0's pinned step, so the distinct() executes within that action anyway —
+    # pinning here would only add a whole extra job (measured ~0.3-0.5s of
+    # pure scheduling overhead per query at bench scale).
+    labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
