@@ -219,7 +219,14 @@ def q_ledger_gate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output to ledger_gate — the Bloom stage only decides which
     events must visit the exact anti-join — so it shares ledger_gate's
     oracle verbatim. The scan-reduction path for 100 TB batches against a
-    TTL-bounded ledger."""
+    TTL-bounded ledger.
+
+    Expected cost shape: at bench scale this runs SLOWER than ledger_gate
+    (~2x) because the tiny ledger broadcasts anyway and the bitmap build +
+    second event pass are pure overhead; the crossover is where the ledger
+    outgrows the broadcast threshold and the exact gate's anti-join becomes
+    a full shuffle of the event batch — then only the duplicate+fpp sliver
+    shuffles here."""
     import datetime as dt
 
     fact = normalized_fact(spark, sf_dir).withColumnRenamed("EventID", "dedup_key")

@@ -59,6 +59,7 @@ RUNGS = [
     ("sf0.1", "/root/testdata/sf0.1", 1.0),
     ("sf0.3", None, 3.0),  # path filled from ladder_root
     ("sf1", None, 10.0),
+    ("sf3", None, 30.0),   # optional rung; skipped if the dir is absent
 ]
 
 
@@ -76,6 +77,7 @@ def main() -> None:
         (name, path or os.path.join(ladder_root, name), scale)
         for name, path, scale in RUNGS
     ]
+    rungs = [r for r in rungs if os.path.isdir(r[1])]
     spark = get_spark(app_name="bench-ladder")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -85,9 +85,13 @@ def build_rung(out_dir: str, copies: int) -> None:
 
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
-    for sf, copies in (("sf0.3", 3), ("sf1", 10)):
+    for sf, copies in (("sf0.3", 3), ("sf1", 10), ("sf3", 30)):
+        dest = os.path.join(out_root, sf)
+        if os.path.isdir(dest):
+            print(f"{sf} exists, skipping")
+            continue
         print(f"building {sf} ({copies}x sf0.1)")
-        build_rung(os.path.join(out_root, sf), copies)
+        build_rung(dest, copies)
 
 
 if __name__ == "__main__":
