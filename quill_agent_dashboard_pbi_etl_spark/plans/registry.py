@@ -810,11 +810,13 @@ def q_approx_distinct_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++): distinct agents per
     metric with bounded error and O(1) state — the sketch path a 100 TB
     dashboard uses instead of exact distincts (extension surface, SURVEY
-    §2.5 'no approximate aggregates in the reference')."""
+    §2.5 'no approximate aggregates in the reference'). Sketch-ONLY: the
+    exact side lives in approx_distinct_agents_check (the oracle-backed
+    error contract), so the production query never pays the exact
+    distinct's expand + second shuffle."""
     fact = normalized_fact(spark, sf_dir)
     return fact.groupBy("MetricID").agg(
         F.approx_count_distinct("AgentID", 0.01).alias("approx_agents"),
-        F.count_distinct("AgentID").alias("exact_agents"),
     )
 
 
