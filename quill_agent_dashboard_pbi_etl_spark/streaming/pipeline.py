@@ -121,6 +121,68 @@ def start_fact_sink(
     return writer.start()
 
 
+def start_ledger_gated_fact_sink(
+    fact_stream: DataFrame,
+    ledger_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ttl_days: int = 14,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    now_epoch: int | None = None,
+) -> StreamingQuery:
+    """K4 under streaming: per-micro-batch atomic ledger gate+mark against an
+    EXTERNAL parquet ledger (the reference's DynamoDB cycle verbatim,
+    ledger.repo.ts:16-27), then the K1 append sink.
+
+    Why this exists alongside ``dropDuplicatesWithinWatermark``: the state-
+    store dedup horizon lives INSIDE the streaming checkpoint — rebuild the
+    checkpoint (redeploy, topology change, checkpoint corruption) and the
+    stream forgets everything it ever saw. The ledger variant keeps the
+    14-day horizon in an external table exactly like the reference, so a
+    brand-new stream instance still dedups against history, multiple
+    pipelines can share one horizon, and the TTL is enforced by data
+    (``expiresAt``) rather than by operator state. Cost: one locked
+    gate+append cycle per micro-batch (single-writer per ledger; on a
+    Delta/Iceberg catalog, ``ledger_update_auto`` upgrades it to lock-free
+    MERGE). Within-batch duplicates are collapsed keep-first before the
+    gate, so one micro-batch can never double-mark a key. ``now_epoch``
+    freezes the TTL clock for deterministic backfills/replays of historical
+    event time (default: wall clock per batch).
+    """
+    from ..operators.dedup import keep_first, ledger_update_atomic
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        unique = keep_first(
+            batch_df, ["EventID"], [F.col("EventTime"), F.col("Notes")]
+        )
+        survivors = ledger_update_atomic(
+            unique,
+            ledger_path,
+            seen_at=F.col("EventTime"),
+            key_col="EventID",
+            ttl_days=ttl_days,
+            now_epoch=now_epoch,
+        )
+        (
+            to_physical_rows(survivors)
+            .write.mode("append")
+            .partitionBy("FactDateKey")
+            .parquet(output_dir)
+        )
+
+    writer = fact_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 # --------------------------------------------------------------------------- #
 # Streaming corpus gate (north-star tier under readStream)
 # --------------------------------------------------------------------------- #

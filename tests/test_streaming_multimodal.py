@@ -193,6 +193,66 @@ def test_stateful_session_close(spark, tmp_path):
     }
 
 
+def test_ledger_gated_sink_dedups_across_checkpoint_loss(spark, tmp_path):
+    """K4 streaming: the parquet-ledger gate holds the dedup horizon OUTSIDE
+    the streaming checkpoint. A second stream instance with a brand-new
+    checkpoint (simulating redeploy/checkpoint loss — exactly where
+    dropDuplicatesWithinWatermark forgets its state) must still drop keys the
+    first instance marked, and within-batch duplicates collapse keep-first
+    before the gate."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        envelopes_to_webhook_shape,
+        start_ledger_gated_fact_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "fact"
+    ledger = str(tmp_path / "ledger")
+
+    import datetime as _dt
+
+    # Freeze the TTL clock inside the events' 14-day window (the synthetic
+    # events live in 2024-01; wall clock would see their TTL as expired).
+    now_epoch = int(
+        _dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp()
+    )
+
+    def run_instance(ckpt_name):
+        stream = read_envelope_stream(spark, str(landing))
+        fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
+        q = start_ledger_gated_fact_sink(
+            fact,
+            ledger,
+            str(out),
+            str(tmp_path / ckpt_name),
+            available_now=True,
+            now_epoch=now_epoch,
+        )
+        q.awaitTermination(180)
+
+    # Instance 1: events 1, 2, and a within-batch duplicate of 1.
+    with open(landing / "b1.json", "w") as f:
+        for eid in (1, 2, 1):
+            f.write(_json.dumps(_envelope(eid)) + "\n")
+    run_instance("ckpt1")
+    got = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
+    assert got == ["ALOWARE:1", "ALOWARE:2"]
+
+    # Instance 2: FRESH checkpoint (sees b1 again + new b2). The streaming
+    # checkpoint forgot b1, but the ledger did not: only event 3 lands.
+    with open(landing / "b2.json", "w") as f:
+        f.write(_json.dumps(_envelope(3)) + "\n")
+    run_instance("ckpt2")
+    got = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
+    assert got == ["ALOWARE:1", "ALOWARE:2", "ALOWARE:3"]
+
+
 def test_stateful_session_close_auto(spark, tmp_path):
     """Gap sessions through ``close_gap_sessions_auto`` — the deployment
     entry that probes the runtime and picks the state-v2 operator
