@@ -348,3 +348,58 @@ def start_streaming_near_dup_gate(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_cms_counter_sink(
+    keys_stream: DataFrame,
+    counters_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming heavy-hitter counters: fold every micro-batch into ONE
+    persistent count-min sketch (operators/sketches.py).
+
+    This is the sketch's mergeability doing real work: per batch, the batch's
+    counter table (≤ depth×width rows — bounded regardless of key
+    cardinality or stream length) is summed into the persisted table and
+    rewritten. State is ~32k rows of parquet forever, readable by any batch
+    job mid-stream via ``cms_estimate`` — the streaming analog of a metrics
+    store that answers "how often did key X occur, ever" without keeping
+    per-key state. Exactly-once caveat: a replayed batch double-counts
+    (counter merge is not idempotent); at-least-once estimates stay
+    overestimates, which preserves the CMS one-sided error contract.
+    """
+    from ..operators.materialize import pin
+    from ..operators.sketches import cms_counters
+
+    counter_schema = "seed int, bucket bigint, cnt bigint"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_counters = cms_counters(batch_df, key_col, depth, width)
+        try:
+            prev = spark.read.schema(counter_schema).parquet(counters_path)
+        except Exception:  # first batch bootstraps the table
+            prev = spark.createDataFrame([], counter_schema)
+        merged = pin(  # materialize BEFORE overwriting the path we read from
+            batch_counters.unionByName(prev)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").alias("cnt")),
+            required=True,
+        )
+        merged.write.mode("overwrite").parquet(counters_path)
+
+    writer = keys_stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -47,3 +47,74 @@ def test_cms_counter_table_is_bounded_and_mergeable(spark):
     lhs = {(r.seed, r.bucket): r.cnt for r in merged_tables.collect()}
     rhs = {(r.seed, r.bucket): r.cnt for r in from_union.collect()}
     assert lhs == rhs
+
+
+def test_streaming_cms_counter_sink_merges_batches(spark, tmp_path):
+    """The persisted streaming sketch after two micro-batches must equal the
+    batch sketch over the union of both batches' keys — cross-batch
+    mergeability through the parquet counter table — and point estimates
+    from the persisted table must never underestimate."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        start_cms_counter_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    counters_path = str(tmp_path / "counters")
+
+    def run_batch(name, keys):
+        with open(landing / f"{name}.json", "w") as f:
+            for k in keys:
+                f.write(_json.dumps({"key": k}) + "\n")
+        stream = spark.readStream.schema("key string").json(str(landing))
+        q = start_cms_counter_sink(
+            stream,
+            counters_path,
+            str(tmp_path / f"ckpt_{name}"),
+            "key",
+            depth=2,
+            width=64,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    b1 = [f"a{i % 3}" for i in range(30)]   # a0 x10, a1 x10, a2 x10
+    b2 = [f"a{i % 2}" for i in range(10)]   # a0 x5, a1 x5
+    run_batch("b1", b1)
+    # fresh checkpoint → b2 run replays b1's file too: counters see b1 twice
+    # plus b2 once. Use a shared checkpoint instead to get exactly-once.
+    stream = spark.readStream.schema("key string").json(str(landing))
+    with open(landing / "b2.json", "w") as f:
+        for k in b2:
+            f.write(_json.dumps({"key": k}) + "\n")
+    q = start_cms_counter_sink(
+        stream,
+        counters_path,
+        str(tmp_path / "ckpt_b1"),  # SAME checkpoint → only b2 is new
+        "key",
+        depth=2,
+        width=64,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    persisted = spark.read.schema("seed int, bucket bigint, cnt bigint").parquet(
+        counters_path
+    )
+    all_keys = spark.createDataFrame([(k,) for k in b1 + b2], "key string")
+    expected = sketches.cms_counters(all_keys, "key", depth=2, width=64)
+    lhs = {(r.seed, r.bucket): r.cnt for r in persisted.collect()}
+    rhs = {(r.seed, r.bucket): r.cnt for r in expected.collect()}
+    assert lhs == rhs
+
+    est = {
+        r.key: r.cms_est
+        for r in sketches.cms_estimate(
+            all_keys, persisted, "key", depth=2, width=64
+        ).collect()
+    }
+    true = {"a0": 15, "a1": 15, "a2": 10}
+    for k, t in true.items():
+        assert est[k] >= t
