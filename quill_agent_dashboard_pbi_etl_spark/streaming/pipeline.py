@@ -403,3 +403,66 @@ def start_cms_counter_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_hll_distinct_sink(
+    keyed_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming distinct-counting: one mergeable Datasketches HLL sketch per
+    group, persisted and unioned per micro-batch (Spark 4's
+    ``hll_sketch_agg`` / ``hll_union_agg`` — the binary sketches merge
+    losslessly, unlike ``approx_count_distinct`` whose estimate is terminal).
+
+    State is one ~KB binary per group forever; any batch job can read the
+    table mid-stream and answer "distinct agents per metric, ever" via
+    :func:`hll_estimates` without touching the raw stream. Replays
+    double-insert, but HLL insertion is idempotent per value — exactly-once
+    falls out for distinct-counting even under at-least-once delivery (the
+    property the CMS counter sink does NOT have).
+    """
+    from ..operators.materialize import pin
+
+    schema = f"{group_col} string, sketch binary"
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(group_col).agg(
+            F.hll_sketch_agg(value_col).alias("sketch")
+        )
+        try:
+            prev = spark.read.schema(schema).parquet(sketch_path)
+        except Exception:  # first batch bootstraps the table
+            prev = spark.createDataFrame([], schema)
+        merged = pin(  # materialize BEFORE overwriting the path we read from
+            batch_sk.unionByName(prev)
+            .groupBy(group_col)
+            .agg(F.hll_union_agg("sketch").alias("sketch")),
+            required=True,
+        )
+        merged.write.mode("overwrite").parquet(sketch_path)
+
+    writer = keyed_stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def hll_estimates(spark: SparkSession, sketch_path: str, group_col: str) -> DataFrame:
+    """Point-read the persisted HLL table → (group, distinct_estimate)."""
+    sk = spark.read.schema(f"{group_col} string, sketch binary").parquet(sketch_path)
+    return sk.select(
+        F.col(group_col),
+        F.hll_sketch_estimate("sketch").alias("distinct_estimate"),
+    )

@@ -118,3 +118,43 @@ def test_streaming_cms_counter_sink_merges_batches(spark, tmp_path):
     true = {"a0": 15, "a1": 15, "a2": 10}
     for k, t in true.items():
         assert est[k] >= t
+
+
+def test_streaming_hll_distinct_sink_idempotent_union(spark, tmp_path):
+    """Two micro-batches with overlapping values: the persisted per-group HLL
+    sketches estimate the distinct count of the UNION exactly (HLL is exact
+    at these cardinalities), and re-inserting seen values on replay changes
+    nothing — insertion idempotence, the property that makes distinct
+    counting exactly-once under at-least-once delivery."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        hll_estimates,
+        start_hll_distinct_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sketch_path = str(tmp_path / "sketches")
+
+    def run(ckpt, rows):
+        with open(landing / f"{ckpt}.json", "w") as f:
+            for g, v in rows:
+                f.write(_json.dumps({"g": g, "v": v}) + "\n")
+        stream = spark.readStream.schema("g string, v string").json(str(landing))
+        q = start_hll_distinct_sink(
+            stream, sketch_path, str(tmp_path / ckpt), "g", "v",
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run("ck1", [("CALLS", f"a{i}") for i in range(20)] + [("TEXTS", "a0")])
+    # FRESH checkpoint: replays batch 1 (idempotent re-insert) + adds batch 2
+    # with 10 seen + 10 new agents for CALLS.
+    run("ck2", [("CALLS", f"a{i}") for i in range(10, 30)])
+
+    est = {
+        r.g: r.distinct_estimate
+        for r in hll_estimates(spark, sketch_path, "g").collect()
+    }
+    assert est == {"CALLS": 30, "TEXTS": 1}
