@@ -86,14 +86,25 @@ def infer_metric(event_name: Column, type_code: Column) -> Column:
 def parse_created_at(raw: Column, received_at: Column) -> Column:
     """P5 timestamp coercion (aloware.adapter.ts:24-33, fallback :87).
 
-    ISO accepted as-is; ``YYYY-MM-DD HH:mm:ss`` treated as UTC; invalid/missing
-    → ``receivedAt``.
+    Accepts EXACTLY three explicit formats — ISO 'T' form, the space-
+    separated form (treated as UTC per the reference's replace-and-append-Z
+    normalization), and the Z-suffixed ISO form — anything else (fractional
+    seconds, zone offsets, date-only) falls back to ``receivedAt``. Explicit
+    format literals instead of the lenient ``try_to_timestamp`` default keep
+    the accepted family engine-portable: the DuckDB oracle
+    (sources/webhook_mapping.py), the dead-letter BAD_TIMESTAMP predicate
+    (operators/errors.py), and the property-test model all pin the identical
+    three patterns, so one row can never be "parsed" in one place and
+    "unparseable" in another. (Deliberate narrowing vs the reference's JS
+    ``new Date``, which accepts engine-specific extras no SQL engine
+    mirrors exactly.) Session tz is UTC → naive forms read as UTC instants.
     """
-    iso = F.try_to_timestamp(raw)  # session tz is UTC → naive ISO == UTC
-    spaced = F.try_to_timestamp(
-        F.regexp_replace(raw, " ", "T"), F.lit("yyyy-MM-dd'T'HH:mm:ss")
+    return F.coalesce(
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        received_at,
     )
-    return F.coalesce(iso, spaced, received_at)
 
 
 def effective_tz(tz: Column) -> Column:

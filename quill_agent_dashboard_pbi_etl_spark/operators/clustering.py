@@ -64,6 +64,12 @@ def connected_components(
     # symmetric closure is an explode of [(a,b),(b,a)], NOT a self-union —
     # a union's two branches would each execute the caller's edge DAG inside
     # this one checkpoint action.
+    # required=True: lineage truncation is STRUCTURAL for this loop, not an
+    # optimization — with pass-through pinning each round's plan would embed
+    # the previous round ~3x (neighbor join, propagate join, pointer jump)
+    # plus the convergence count, re-executing the caller's whole edge DAG
+    # O(3^rounds) times. The 'none' strategy therefore still materializes
+    # here (see operators/materialize.py).
     sym = pin(
         e.select(
             F.explode(
@@ -73,12 +79,14 @@ def connected_components(
                 )
             ).alias("p")
         )
-        .select("p.a", "p.b")
+        .select("p.a", "p.b"),
+        required=True,
     )
-    # Identity labels stay LAZY: they are consumed exactly once, inside round
-    # 0's pinned step, so the distinct() executes within that action anyway —
-    # pinning here would only add a whole extra job (measured ~0.3-0.5s of
-    # pure scheduling overhead per query at bench scale).
+    # Identity labels stay LAZY: both round-0 references (the neighbor join
+    # and the propagate join) recompute the distinct from SYM'S PINNED BLOCKS
+    # inside round 0's single action — two cheap local re-aggregations beat a
+    # whole extra eagerly-scheduled job (measured ~0.3-0.5s of pure overhead
+    # per query at bench scale).
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -115,7 +123,8 @@ def connected_components(
             step = pin(
                 propagated.select(
                     "node", "old_label", F.col("mid_label").alias("label")
-                )
+                ),
+                required=True,
             )
         else:
             step = pin(
@@ -129,7 +138,8 @@ def connected_components(
                     "node",
                     "old_label",
                     F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
-                )
+                ),
+                required=True,
             )
         labels = step.select("node", "label")
         # Round 1 changes labels for any graph with at least one edge —

@@ -102,7 +102,12 @@ def bloom_build(
     the executor side emits (word, bitmask) pairs and one ``bit_or``
     aggregation folds them — only ≤ num_bits/64 rows ever reach the driver,
     exactly like broadcasting IVF centroids. No UDF anywhere.
+
+    ``num_bits`` is rounded UP to a multiple of 64 (the bitmap is long
+    words); :func:`bloom_maybe_flag` derives the modulus from the bitmap
+    length, so build and probe always agree.
     """
+    num_bits = ((num_bits + 63) // 64) * 64
     pos = keys.select(
         F.explode(
             F.array(
@@ -387,13 +392,28 @@ def ledger_update_auto(
     * Lock path (plain parquet): :func:`ledger_update_atomic` — whole-cycle
       mutual exclusion via the O_EXCL :class:`LedgerLock`, stale-broken
       after its timeout if a writer dies mid-cycle.
+
+    Fallback is taken ONLY when the session has no MERGE-capable extension
+    at all (dev/sandbox catalogs). If the session COULD merge but the named
+    ``ledger_table`` is missing or not a delta/iceberg table, this raises
+    instead of silently marking keys into the parquet path — otherwise the
+    dedup horizon would split across two stores (keys marked in parquet
+    during the fallback era are invisible once the table appears and the
+    MERGE path takes over, readmitting every one of them).
     """
     spark = events.sparkSession
     if now_epoch is None:
         now_epoch = int(time.time())
-    if ledger_table is None or not merge_capable(spark, ledger_table):
+    if ledger_table is None or not merge_capable(spark):
         return ledger_update_atomic(
             events, ledger_path, seen_at, key_col, ttl_days, now_epoch
+        )
+    if not merge_capable(spark, ledger_table):
+        raise ValueError(
+            f"ledger_table={ledger_table!r} is not MERGE-capable in this "
+            f"session (provider={table_provider(spark, ledger_table) or 'absent'!r}); "
+            "create it as a delta/iceberg table, or pass ledger_table=None "
+            "to use the locked parquet ledger explicitly."
         )
     import uuid
 

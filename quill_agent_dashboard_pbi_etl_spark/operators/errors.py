@@ -50,21 +50,28 @@ def _code(cond: Column, code: str, severity: str) -> Column:
 def route_dead_letters(webhooks: DataFrame) -> DataFrame:
     """Webhook-shaped batch → FactErrorLog rows
     (EventID, source, error_code, severity, received_date)."""
-    # BAD_TIMESTAMP accepts exactly the two formats the reference's
-    # parseCreatedAt normalizes (ISO 'T' form and the space-separated form,
-    # aloware.adapter.ts:24-33) — explicit format literals, NOT the lenient
-    # try_to_timestamp default, so the predicate is engine-portable: the
-    # DuckDB oracle's try_strptime('%Y-%m-%dT%H:%M:%S' / '%Y-%m-%d %H:%M:%S')
-    # pair classifies every value identically (lenient Spark parsing would
-    # accept date-only / fractional-second / zone-offset strings the oracle
-    # rejects).
+    # BAD_TIMESTAMP mirrors parse_created_at's EXACT three-format family
+    # (functions/adapter.py P5): ISO 'T' form, space-separated form, and
+    # Z-suffixed ISO. Explicit format literals, NOT the lenient
+    # try_to_timestamp default, so the predicate is engine-portable — the
+    # DuckDB oracle's try_strptime triple classifies every value
+    # identically, and a row flagged BAD_TIMESTAMP here is guaranteed to be
+    # the same row the adapter actually coerced to receivedAt.
     iso = F.try_to_timestamp(
         F.col("created_at_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss")
     )
     spaced = F.try_to_timestamp(
         F.col("created_at_raw"), F.lit("yyyy-MM-dd HH:mm:ss")
     )
-    parse_failed = F.col("created_at_raw").isNotNull() & iso.isNull() & spaced.isNull()
+    zulu = F.try_to_timestamp(
+        F.col("created_at_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )
+    parse_failed = (
+        F.col("created_at_raw").isNotNull()
+        & iso.isNull()
+        & spaced.isNull()
+        & zulu.isNull()
+    )
     outbound = is_outbound(F.col("event_name"), F.col("direction"))
     metric = infer_metric(F.col("event_name"), F.col("type_code"))
     bad_tz = F.col("tz").isNotNull() & ~F.col("tz").isin(*KNOWN_TIMEZONES)

@@ -20,9 +20,12 @@ a session conf rather than a hardcoded ``localCheckpoint``:
       costs one write+read of the intermediate.
   ``none``
       Pass through: keeps full lineage (always recomputable — maximum fault
-      tolerance) at the cost of recomputing the intermediate per reuse and of
-      per-iteration plan growth in iterative operators. Correctness-safe
-      everywhere.
+      tolerance) at the cost of recomputing the intermediate per reuse.
+      Straight-line operators tolerate this (a bounded number of extra
+      passes); ITERATIVE operators do not — without per-round truncation the
+      plan embeds the previous round several times over, so recompute grows
+      exponentially in round count. Such sites pass ``required=True`` and
+      keep materializing under ``none``.
 
 This makes the executor-loss trade-off a deployment choice instead of a
 hidden property of the operator internals.

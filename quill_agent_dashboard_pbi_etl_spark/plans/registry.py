@@ -95,7 +95,8 @@ flags AS (
     END AS MetricID,
     created_at_raw IS NOT NULL
       AND try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%S') IS NULL
-      AND try_strptime(created_at_raw, '%Y-%m-%d %H:%M:%S') IS NULL AS parse_failed,
+      AND try_strptime(created_at_raw, '%Y-%m-%d %H:%M:%S') IS NULL
+      AND try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%SZ') IS NULL AS parse_failed,
     tz IS NOT NULL AND tz NOT IN {{KNOWN_TZ}} AS bad_tz,
     owner_id IS NULL AND user_id IS NULL AS agent_unknown
   FROM webhooks
@@ -226,10 +227,13 @@ def q_ledger_gate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     second event pass are pure overhead; the crossover is where the ledger
     outgrows the broadcast threshold and the exact gate's anti-join becomes
     a full shuffle of the event batch — then only the duplicate+fpp sliver
-    shuffles here."""
+    shuffles here. The normalize pass is pinned: it feeds the bitmap build,
+    both bloom branches, and the synthetic-ledger side (4 consumers)."""
     import datetime as dt
 
-    fact = normalized_fact(spark, sf_dir).withColumnRenamed("EventID", "dedup_key")
+    fact = pin(
+        normalized_fact(spark, sf_dir).withColumnRenamed("EventID", "dedup_key")
+    )
     ledger = fact.filter(
         F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
     ).select(

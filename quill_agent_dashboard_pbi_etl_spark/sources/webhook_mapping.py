@@ -178,6 +178,7 @@ adapter AS (
     coalesce(
       try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%S'),
       try_strptime(created_at_raw, '%Y-%m-%d %H:%M:%S'),
+      try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%SZ'),
       receivedAt
     ) AS event_ts,
     coalesce(CAST(owner_id AS VARCHAR), CAST(user_id AS VARCHAR), 'unknown') AS AgentID,

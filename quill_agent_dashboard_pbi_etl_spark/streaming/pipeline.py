@@ -22,6 +22,8 @@ graph compiles once and runs under Structured Streaming:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,28 +151,67 @@ def start_ledger_gated_fact_sink(
     gate, so one micro-batch can never double-mark a key. ``now_epoch``
     freezes the TTL clock for deterministic backfills/replays of historical
     event time (default: wall clock per batch).
+
+    Crash safety (effectively-once output): claims are the commit point.
+    Each batch CLAIMS its new keys in the ledger tagged ``writer_id =
+    batch<id>``, then derives its survivors by READING BACK the keys its tag
+    owns, and finally overwrites its own ``batch_id=N`` output subdirectory.
+    A retry at any crash point reconstructs the identical survivor set from
+    the durable claims (keys it claimed before the crash are still tagged as
+    its own — NOT silently dropped as duplicates, which is what a
+    mark-then-write sink without tags would do) and the per-batch overwrite
+    is idempotent. The tag protocol is also safe across checkpoint
+    replacement: a replayed event lands in exactly the one subdirectory
+    whose batch claimed its key, never twice.
     """
-    from ..operators.dedup import keep_first, ledger_update_atomic
+    from ..operators.dedup import LedgerLock, keep_first
+
+    sink_ledger_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        now = now_epoch if now_epoch is not None else int(time.time())
+        tag = f"batch{batch_id}"
         unique = keep_first(
             batch_df, ["EventID"], [F.col("EventTime"), F.col("Notes")]
         )
-        survivors = ledger_update_atomic(
-            unique,
-            ledger_path,
-            seen_at=F.col("EventTime"),
-            key_col="EventID",
-            ttl_days=ttl_days,
-            now_epoch=now_epoch,
+        with LedgerLock(ledger_path):
+            try:
+                ledger = spark.read.schema(sink_ledger_schema).parquet(ledger_path)
+            except Exception:  # first batch bootstraps the ledger
+                ledger = spark.createDataFrame([], sink_ledger_schema)
+            live = ledger.filter(F.col("expiresAt") >= F.lit(now)).select(
+                F.col("pk").alias("EventID")
+            )
+            claims = (
+                unique.join(live, "EventID", "left_anti")
+                .select(
+                    F.col("EventID").alias("pk"),
+                    F.col("EventTime").alias("seenAt"),
+                    (F.unix_timestamp("EventTime") + ttl_days * 86400).alias(
+                        "expiresAt"
+                    ),
+                    F.lit(tag).alias("writer_id"),
+                )
+                .dropDuplicates(["pk"])
+            )
+            claims.write.mode("append").parquet(ledger_path)
+        # Verify outside the lock: survivors = the keys THIS tag owns in the
+        # durable ledger — replay-stable even if we crashed mid-cycle above.
+        claimed = (
+            spark.read.schema(sink_ledger_schema)
+            .parquet(ledger_path)
+            .filter(F.col("writer_id") == tag)
+            .select(F.col("pk").alias("EventID"))
         )
+        survivors = unique.join(claimed, "EventID", "left_semi")
         (
             to_physical_rows(survivors)
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("FactDateKey")
-            .parquet(output_dir)
+            .parquet(f"{output_dir}/batch_id={batch_id}")
         )
 
     writer = fact_stream.writeStream.foreachBatch(write_batch).option(
@@ -350,6 +391,68 @@ def start_streaming_near_dup_gate(
     return writer.start()
 
 
+def _read_latest_state(spark: SparkSession, state_root: str, schema: str):
+    """(DataFrame, version, batch_tag) of the newest COMPLETE snapshot under
+    ``state_root`` (a ``v=N`` dir is complete iff its ``_BATCH-<tag>`` marker
+    exists — the marker is stamped only after the parquet commit). Empty
+    DataFrame / version 0 / no tag when no snapshot exists. Local-FS
+    listing; on an object store swap the two ``os`` calls for the storage
+    API — the versioned-snapshot protocol is the point, not the FS calls."""
+    import os
+
+    complete = []
+    if os.path.isdir(state_root):
+        for d in os.listdir(state_root):
+            if not d.startswith("v="):
+                continue
+            markers = [
+                m
+                for m in os.listdir(os.path.join(state_root, d))
+                if m.startswith("_BATCH-")
+            ]
+            if markers:
+                complete.append((int(d[2:]), markers[0][len("_BATCH-"):]))
+    if not complete:
+        return spark.createDataFrame([], schema), 0, None
+    ver, tag = max(complete)
+    df = spark.read.schema(schema).parquet(os.path.join(state_root, f"v={ver}"))
+    return df, ver, tag
+
+
+def _commit_state_version(
+    df: DataFrame, state_root: str, version: int, batch_tag: str, keep: int = 3
+) -> None:
+    """Commit ``df`` as snapshot ``v=<version>``: write the parquet, stamp
+    the ``_BATCH-<tag>`` completeness marker LAST, then GC snapshots older
+    than the newest ``keep``. A crash at ANY point leaves the previous
+    complete snapshot untouched — nothing ever overwrites or deletes it
+    until the new one is fully committed — which is the crash window a
+    read-then-overwrite-same-path design cannot close (delete-then-die →
+    the retry silently bootstraps from empty)."""
+    import os
+    import shutil
+
+    dest = os.path.join(state_root, f"v={version}")
+    df.write.mode("overwrite").parquet(dest)
+    open(os.path.join(dest, f"_BATCH-{batch_tag}"), "w").close()
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(state_root) if d.startswith("v=")
+    )
+    for old in versions[:-keep]:
+        shutil.rmtree(os.path.join(state_root, f"v={old}"), ignore_errors=True)
+
+
+def read_cms_counters(
+    spark: SparkSession, counters_path: str
+) -> DataFrame:
+    """Latest committed CMS counter snapshot (pair with
+    ``sketches.cms_estimate``)."""
+    df, _, _ = _read_latest_state(
+        spark, counters_path, "seed int, bucket bigint, cnt bigint"
+    )
+    return df
+
+
 def start_cms_counter_sink(
     keys_stream: DataFrame,
     counters_path: str,
@@ -365,35 +468,45 @@ def start_cms_counter_sink(
 
     This is the sketch's mergeability doing real work: per batch, the batch's
     counter table (≤ depth×width rows — bounded regardless of key
-    cardinality or stream length) is summed into the persisted table and
-    rewritten. State is ~32k rows of parquet forever, readable by any batch
-    job mid-stream via ``cms_estimate`` — the streaming analog of a metrics
-    store that answers "how often did key X occur, ever" without keeping
-    per-key state. Exactly-once caveat: a replayed batch double-counts
-    (counter merge is not idempotent); at-least-once estimates stay
-    overestimates, which preserves the CMS one-sided error contract.
+    cardinality or stream length) is summed into the persisted table. State
+    is ~32k rows of parquet forever, readable by any batch job mid-stream via
+    :func:`read_cms_counters` + ``cms_estimate`` — the streaming analog of a
+    metrics store that answers "how often did key X occur, ever" without
+    keeping per-key state.
+
+    Crash safety: state commits as VERSIONED snapshots (`v=N` dirs whose
+    completeness marker is stamped last — see :func:`_commit_state_version`),
+    so a crash mid-write can never destroy the accumulated history the way a
+    same-path overwrite would (delete-then-die → silently bootstrap empty).
+    A same-generation retry of an already-committed batch is a no-op (the
+    latest version remembers which batch built it); a cross-generation
+    replay still double-counts — at-least-once estimates stay OVERestimates,
+    preserving the CMS one-sided error contract.
     """
-    from ..operators.materialize import pin
+    import hashlib
+
     from ..operators.sketches import cms_counters
 
     counter_schema = "seed int, bucket bigint, cnt bigint"
+    # Batch tags bind to the CHECKPOINT identity: a same-generation retry of
+    # batch N carries the same tag (→ no-op), while batch N of a REBUILT
+    # checkpoint — same number, different data — gets a fresh tag and folds.
+    gen = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch_counters = cms_counters(batch_df, key_col, depth, width)
-        try:
-            prev = spark.read.schema(counter_schema).parquet(counters_path)
-        except Exception:  # first batch bootstraps the table
-            prev = spark.createDataFrame([], counter_schema)
-        merged = pin(  # materialize BEFORE overwriting the path we read from
-            batch_counters.unionByName(prev)
+        prev, ver, tag = _read_latest_state(spark, counters_path, counter_schema)
+        if tag == f"{gen}-b{batch_id}":
+            return  # retry of an already-committed batch — idempotent no-op
+        merged = (
+            cms_counters(batch_df, key_col, depth, width)
+            .unionByName(prev)
             .groupBy("seed", "bucket")
-            .agg(F.sum("cnt").alias("cnt")),
-            required=True,
+            .agg(F.sum("cnt").alias("cnt"))
         )
-        merged.write.mode("overwrite").parquet(counters_path)
+        _commit_state_version(merged, counters_path, ver + 1, f"{gen}-b{batch_id}")
 
     writer = keys_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -424,30 +537,29 @@ def start_hll_distinct_sink(
     :func:`hll_estimates` without touching the raw stream. Replays
     double-insert, but HLL insertion is idempotent per value — exactly-once
     falls out for distinct-counting even under at-least-once delivery (the
-    property the CMS counter sink does NOT have).
+    property the CMS counter sink does NOT have). State persists as the same
+    crash-safe versioned snapshots as the CMS sink.
     """
-    from ..operators.materialize import pin
+    import hashlib
 
     schema = f"{group_col} string, sketch binary"
+    gen = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch_sk = batch_df.groupBy(group_col).agg(
-            F.hll_sketch_agg(value_col).alias("sketch")
-        )
-        try:
-            prev = spark.read.schema(schema).parquet(sketch_path)
-        except Exception:  # first batch bootstraps the table
-            prev = spark.createDataFrame([], schema)
-        merged = pin(  # materialize BEFORE overwriting the path we read from
-            batch_sk.unionByName(prev)
+        prev, ver, tag = _read_latest_state(spark, sketch_path, schema)
+        if tag == f"{gen}-b{batch_id}":
+            return  # retry of an already-committed batch — idempotent no-op
+        merged = (
+            batch_df.groupBy(group_col)
+            .agg(F.hll_sketch_agg(value_col).alias("sketch"))
+            .unionByName(prev)
             .groupBy(group_col)
-            .agg(F.hll_union_agg("sketch").alias("sketch")),
-            required=True,
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
         )
-        merged.write.mode("overwrite").parquet(sketch_path)
+        _commit_state_version(merged, sketch_path, ver + 1, f"{gen}-b{batch_id}")
 
     writer = keyed_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -460,8 +572,11 @@ def start_hll_distinct_sink(
 
 
 def hll_estimates(spark: SparkSession, sketch_path: str, group_col: str) -> DataFrame:
-    """Point-read the persisted HLL table → (group, distinct_estimate)."""
-    sk = spark.read.schema(f"{group_col} string, sketch binary").parquet(sketch_path)
+    """Point-read the latest committed HLL snapshot →
+    (group, distinct_estimate)."""
+    sk, _, _ = _read_latest_state(
+        spark, sketch_path, f"{group_col} string, sketch binary"
+    )
     return sk.select(
         F.col(group_col),
         F.hll_sketch_estimate("sketch").alias("distinct_estimate"),

@@ -44,6 +44,12 @@ createds = st.sampled_from(
         "2024-02-30 10:00:00",  # invalid date → fallback to receivedAt
         "not-a-date",
         "2023-12-31T23:30:00",
+        # outside the explicit three-format family → fallback (locks the
+        # deliberate narrowing vs JS `new Date`: fractional seconds, offsets,
+        # and date-only strings are NOT silently parsed)
+        "2024-01-15T10:30:00.123",
+        "2024-01-15T10:30:00+02:00",
+        "2024-01-15",
     ]
 )
 tzs = st.sampled_from(
@@ -100,15 +106,17 @@ def model_metric(name, type_code):
 
 
 def model_ts(raw):
+    # Mirrors parse_created_at's EXACT three-format family (the engine-
+    # portable narrowing of the reference's JS `new Date`): ISO 'T' form,
+    # spaced form (UTC), Z-suffixed ISO. Anything else → receivedAt.
     if raw is None:
         return RECEIVED
-    try:
-        parsed = dt.datetime.fromisoformat(raw.replace(" ", "T").replace("Z", "+00:00"))
-    except ValueError:
-        return RECEIVED
-    if parsed.tzinfo is not None:
-        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
-    return parsed
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            return dt.datetime.strptime(raw, fmt)
+        except ValueError:
+            pass
+    return RECEIVED
 
 
 def model_date_key(ts_utc, tz):

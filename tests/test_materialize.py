@@ -10,8 +10,11 @@ def test_pin_default_is_local_checkpoint(spark):
     out = pin(df)
     assert out is not df
     assert out.count() == 10
-    # lineage is truncated: the checkpointed plan is a scan, not a Range
-    assert out.rdd.getNumPartitions() >= 1
+    # lineage is truncated: the checkpointed plan is a scan over materialized
+    # blocks, with the original Range operator gone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Range" not in plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
 
 
 def test_pin_none_passes_through_unless_required(spark):

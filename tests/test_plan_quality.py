@@ -164,8 +164,10 @@ def test_global_topk_is_take_ordered(spark, name):
 
 def test_q15_max_join_keeps_ties_no_global_sort(spark):
     """tpch_q15's '= max' is a broadcast join against the aggregate max —
-    no global-window sort exchange, and tie rows all survive."""
+    no global-window sort exchange, no nested-loop, and the max side
+    actually broadcasts."""
     df = QUERIES["tpch_q15_top_supplier"](spark, SF_SMALL)
     p = plan_of(df)
     assert "Window" not in p
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -100,9 +100,11 @@ def test_streaming_cms_counter_sink_merges_batches(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    persisted = spark.read.schema("seed int, bucket bigint, cnt bigint").parquet(
-        counters_path
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        read_cms_counters,
     )
+
+    persisted = read_cms_counters(spark, counters_path)
     all_keys = spark.createDataFrame([(k,) for k in b1 + b2], "key string")
     expected = sketches.cms_counters(all_keys, "key", depth=2, width=64)
     lhs = {(r.seed, r.bucket): r.cnt for r in persisted.collect()}
@@ -150,7 +152,8 @@ def test_streaming_hll_distinct_sink_idempotent_union(spark, tmp_path):
 
     run("ck1", [("CALLS", f"a{i}") for i in range(20)] + [("TEXTS", "a0")])
     # FRESH checkpoint: replays batch 1 (idempotent re-insert) + adds batch 2
-    # with 10 seen + 10 new agents for CALLS.
+    # with 10 seen + 10 new agents for CALLS. The generation-bound batch tag
+    # must NOT mistake this rebuilt batch 0 for a retry of ck1's batch 0.
     run("ck2", [("CALLS", f"a{i}") for i in range(10, 30)])
 
     est = {
@@ -158,3 +161,27 @@ def test_streaming_hll_distinct_sink_idempotent_union(spark, tmp_path):
         for r in hll_estimates(spark, sketch_path, "g").collect()
     }
     assert est == {"CALLS": 30, "TEXTS": 1}
+
+
+def test_versioned_state_survives_partial_write(spark, tmp_path):
+    """Crash-window contract for the sketch sinks' versioned state: a
+    half-written newer snapshot (no completeness marker — the crash landed
+    between parquet write and marker stamp) is invisible to readers, and the
+    previous committed snapshot is still served intact."""
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        _commit_state_version,
+        _read_latest_state,
+    )
+
+    root = str(tmp_path / "state")
+    schema = "seed int, bucket bigint, cnt bigint"
+    good = spark.createDataFrame([(0, 1, 5), (1, 2, 7)], schema)
+    _commit_state_version(good, root, 1, "gen-b0")
+
+    # Simulated crash: v=2 parquet written, marker never stamped.
+    bad = spark.createDataFrame([(0, 1, 999)], schema)
+    bad.write.mode("overwrite").parquet(f"{root}/v=2")
+
+    df, ver, tag = _read_latest_state(spark, root, schema)
+    assert (ver, tag) == (1, "gen-b0")
+    assert {(r.seed, r.bucket, r.cnt) for r in df.collect()} == {(0, 1, 5), (1, 2, 7)}

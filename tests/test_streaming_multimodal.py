@@ -253,6 +253,53 @@ def test_ledger_gated_sink_dedups_across_checkpoint_loss(spark, tmp_path):
     assert got == ["ALOWARE:1", "ALOWARE:2", "ALOWARE:3"]
 
 
+def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path):
+    """Crash injection for the claim-then-verify protocol: a prior attempt of
+    batch 0 CLAIMED event 1 in the ledger (tagged batch0) and died before
+    writing any output. The retry must still emit event 1 — its key is live
+    in the ledger, but the tag proves this batch owns it, so it is NOT
+    dropped as a duplicate (the data-loss mode of a tagless mark-then-write
+    sink)."""
+    import datetime as _dt
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        envelopes_to_webhook_shape,
+        start_ledger_gated_fact_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "fact"
+    ledger = str(tmp_path / "ledger")
+    now_epoch = int(
+        _dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp()
+    )
+
+    # The dead attempt's claim: event 1 live in the ledger, tagged batch0.
+    spark.createDataFrame(
+        [("ALOWARE:1", _dt.datetime(2024, 1, 15, 3), now_epoch + 86400, "batch0")],
+        "pk string, seenAt timestamp, expiresAt long, writer_id string",
+    ).write.mode("append").parquet(ledger)
+
+    with open(landing / "b1.json", "w") as f:
+        for eid in (1, 2):
+            f.write(_json.dumps(_envelope(eid)) + "\n")
+    stream = read_envelope_stream(spark, str(landing))
+    fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
+    q = start_ledger_gated_fact_sink(
+        fact, ledger, str(out), str(tmp_path / "ckpt"),
+        available_now=True, now_epoch=now_epoch,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
+    assert got == ["ALOWARE:1", "ALOWARE:2"]
+
+
 def test_stateful_session_close_auto(spark, tmp_path):
     """Gap sessions through ``close_gap_sessions_auto`` — the deployment
     entry that probes the runtime and picks the state-v2 operator
