@@ -876,6 +876,74 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pipeline_full",
+    f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM clustered
+),
+survivors AS (
+  SELECT cluster_id, doc_id, CAST(csize AS BIGINT) AS cluster_size
+  FROM ranked WHERE rn = 1
+),
+{{_QR}},
+gated AS (
+  SELECT doc_id,
+    NOT (n_tok < 20
+         OR punct_ratio > 0.2
+         OR NOT (stopword_ratio >= 0.05 AND stopword_ratio <= 0.6)
+         OR NOT (mean_token_len >= 2.5 AND mean_token_len <= 10.0)) AS keep
+  FROM ratios
+)
+SELECT s.doc_id, d.lang, d.source, s.cluster_size,
+       {_SAMPLE_BUCKET_SQL.replace("doc_id", "s.doc_id")} % 16 AS shard
+FROM survivors s
+JOIN documents d ON s.doc_id = d.doc_id
+JOIN gated g ON s.doc_id = g.doc_id
+WHERE g.keep
+  AND {_SAMPLE_BUCKET_SQL.replace("doc_id", "s.doc_id")} % 100 <
+      CASE d.lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'zh' THEN 40 ELSE 25 END
+""".replace("{_QR}", _QRATIOS_CTES.replace("__STOP_HITS__", _marker_hits_sql(T.STOPWORDS))),
+)
+def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star flagship: the WHOLE training-data prep pipeline as one
+    DataFrame graph — near-dup pairs (PPJoin Jaccard) → connected-components
+    duplicate clusters → canonical survivor per cluster → Gopher-style
+    quality gate → deterministic per-language stratified sample → output
+    shard assignment. The training-data analog of ingest_pipeline_full, and
+    every stage is the SAME operator its standalone query uses, so the full
+    composition is verified end-to-end against one DuckDB oracle (recursive-
+    CTE closure + ratio CTEs + md5 sample buckets). Plan shape: the pair
+    generation and per-round CC joins are the only wide stages; the gate,
+    sample, and shard assignment are row-local over the (small) survivor
+    set."""
+    docs = load_table(spark, sf_dir, "documents")
+    clustered = _jaccard_clusters(spark, sf_dir)
+    survivors = clustering.canonical_survivors(clustered).select(
+        "doc_id", "cluster_size"
+    )
+    kept = survivors.join(
+        q_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+    )
+    enriched = kept.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    sampled = clustering.stratified_sample(
+        enriched, "doc_id", "lang", {"en": 80, "de": 50, "zh": 40}, default_pct=25
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        "cluster_size",
+        clustering.hash_bucket(F.col("doc_id"), 16).alias("shard"),
+    )
+
+
+@register(
     "semantic_dup_clusters",
     """
 WITH RECURSIVE epairs AS (
