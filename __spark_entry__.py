@@ -70,8 +70,9 @@ def _wrap(fn: registry.Query) -> registry.Query:
 # code changed this round (similarity.py pair kernel → the cluster family;
 # top-k limit form → frequent_tokens/q10/q15) plus the two operators NEW
 # this round (Bloom ledger pre-gate — exact-result scan reduction — and the
-# count-min-sketch error-bound contract). dedup_minhash_lsh/_ngram_jaccard
-# (r4-green; their changed pin() path is exercised in-window by the cluster
+# count-min-sketch error-bound contract; the composed corpus_pipeline_full).
+# dedup_minhash_lsh/_ngram_jaccard/semantic_dup_clusters (r4-green; their
+# changed pin()/pair-kernel paths are exercised in-window by the cluster
 # family that consumes the same pinned pipelines) yield their slots to the
 # new rows. Everything green in round 4 with unchanged code follows after
 # rank 50; tools/check_oracle.py still sweeps all entries regardless of
@@ -123,8 +124,8 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "multimodal_real_decode",
-    # -- (d) upstream code changed this round ---------------------------------
-    "semantic_dup_clusters",   # consumes the similarity pair kernels
+    # -- (d) upstream code changed this round / new this round ----------------
+    "corpus_pipeline_full",    # new: composed training-data prep, full oracle
     "ann_ivf_recall",          # similarity.py changed this round
     "frequent_tokens",         # top-k limit form
     "tpch_q10_returned_revenue",
