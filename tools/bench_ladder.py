@@ -53,6 +53,7 @@ FAMILY = {
     "embedding_near_dup_lsh": None,
     "embedding_near_dup_lsh_t50": _lsh_t50,
     "ingest_pipeline_full": None,
+    "corpus_pipeline_full": None,
 }
 
 RUNGS = [
