@@ -154,15 +154,20 @@ def start_ledger_gated_fact_sink(
 
     Crash safety (effectively-once output): claims are the commit point.
     Each batch CLAIMS its new keys in the ledger tagged ``writer_id =
-    batch<id>``, then derives its survivors by READING BACK the keys its tag
-    owns, and finally overwrites its own ``batch_id=N`` output subdirectory.
+    <generation>-b<id>`` (the generation id is a uuid persisted in the
+    checkpoint dir — see :func:`_generation_id` — so tags are unique across
+    stream incarnations AND across pipelines sharing one ledger), then
+    derives its survivors by READING BACK the keys its tag owns, and finally
+    overwrites its own ``gen=<generation>/batch_id=N`` output subdirectory.
     A retry at any crash point reconstructs the identical survivor set from
     the durable claims (keys it claimed before the crash are still tagged as
     its own — NOT silently dropped as duplicates, which is what a
     mark-then-write sink without tags would do) and the per-batch overwrite
-    is idempotent. The tag protocol is also safe across checkpoint
-    replacement: a replayed event lands in exactly the one subdirectory
-    whose batch claimed its key, never twice.
+    is idempotent. Across checkpoint replacement: the rebuilt stream's batch
+    N carries a fresh generation, so it can neither adopt the old
+    incarnation's claims (no duplicate re-emission) nor overwrite the old
+    incarnation's committed output — a replayed event lands in exactly the
+    one subdirectory whose batch claimed its key, never twice, never lost.
     """
     from ..operators.dedup import LedgerLock, keep_first
 
@@ -173,7 +178,8 @@ def start_ledger_gated_fact_sink(
             return
         spark = batch_df.sparkSession
         now = now_epoch if now_epoch is not None else int(time.time())
-        tag = f"batch{batch_id}"
+        gen = _generation_id(checkpoint_dir)
+        tag = f"{gen}-b{batch_id}"
         unique = keep_first(
             batch_df, ["EventID"], [F.col("EventTime"), F.col("Notes")]
         )
@@ -197,7 +203,11 @@ def start_ledger_gated_fact_sink(
                 )
                 .dropDuplicates(["pk"])
             )
-            claims.write.mode("append").parquet(ledger_path)
+            # An all-duplicate batch claims nothing — skip the append so a
+            # long-running stream doesn't shed one empty parquet file set
+            # per trigger.
+            if not claims.isEmpty():
+                claims.write.mode("append").parquet(ledger_path)
         # Verify outside the lock: survivors = the keys THIS tag owns in the
         # durable ledger — replay-stable even if we crashed mid-cycle above.
         claimed = (
@@ -211,7 +221,7 @@ def start_ledger_gated_fact_sink(
             to_physical_rows(survivors)
             .write.mode("overwrite")
             .partitionBy("FactDateKey")
-            .parquet(f"{output_dir}/batch_id={batch_id}")
+            .parquet(f"{output_dir}/gen={gen}/batch_id={batch_id}")
         )
 
     writer = fact_stream.writeStream.foreachBatch(write_batch).option(
@@ -391,6 +401,30 @@ def start_streaming_near_dup_gate(
     return writer.start()
 
 
+def _generation_id(checkpoint_dir: str) -> str:
+    """Stable unique id for THIS incarnation of a stream, persisted as a
+    marker file inside the checkpoint directory. Properties the sinks rely
+    on: (a) retries within one incarnation see the same id (the marker
+    survives restarts that keep the checkpoint); (b) an in-place checkpoint
+    rebuild (rm -rf + restart at the SAME path) deletes the marker, so the
+    rebuilt stream gets a FRESH id — batch numbers restarting at 0 can never
+    masquerade as retries of the old incarnation's batches; (c) two
+    pipelines never share an id (distinct checkpoint dirs → distinct
+    markers)."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "__spark_graft_generation")
+    if not os.path.exists(marker):
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex[:12])
+        os.replace(tmp, marker)
+    with open(marker) as fh:
+        return fh.read().strip()
+
+
 def _read_latest_state(spark: SparkSession, state_root: str, schema: str):
     """(DataFrame, version, batch_tag) of the newest COMPLETE snapshot under
     ``state_root`` (a ``v=N`` dir is complete iff its ``_BATCH-<tag>`` marker
@@ -483,20 +517,19 @@ def start_cms_counter_sink(
     replay still double-counts — at-least-once estimates stay OVERestimates,
     preserving the CMS one-sided error contract.
     """
-    import hashlib
-
     from ..operators.sketches import cms_counters
 
     counter_schema = "seed int, bucket bigint, cnt bigint"
-    # Batch tags bind to the CHECKPOINT identity: a same-generation retry of
-    # batch N carries the same tag (→ no-op), while batch N of a REBUILT
-    # checkpoint — same number, different data — gets a fresh tag and folds.
-    gen = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # Batch tags bind to the INCARNATION identity (uuid marker inside the
+        # checkpoint dir): a same-incarnation retry of batch N carries the
+        # same tag (→ no-op), while batch N of a rebuilt checkpoint — even at
+        # the same path — gets a fresh generation and folds.
+        gen = _generation_id(checkpoint_dir)
         prev, ver, tag = _read_latest_state(spark, counters_path, counter_schema)
         if tag == f"{gen}-b{batch_id}":
             return  # retry of an already-committed batch — idempotent no-op
@@ -540,15 +573,13 @@ def start_hll_distinct_sink(
     property the CMS counter sink does NOT have). State persists as the same
     crash-safe versioned snapshots as the CMS sink.
     """
-    import hashlib
-
     schema = f"{group_col} string, sketch binary"
-    gen = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        gen = _generation_id(checkpoint_dir)  # see the CMS sink's note
         prev, ver, tag = _read_latest_state(spark, sketch_path, schema)
         if tag == f"{gen}-b{batch_id}":
             return  # retry of an already-committed batch — idempotent no-op

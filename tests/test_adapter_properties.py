@@ -50,6 +50,8 @@ createds = st.sampled_from(
         "2024-01-15T10:30:00.123",
         "2024-01-15T10:30:00+02:00",
         "2024-01-15",
+        "2024-1-5T3:4:5",  # non-zero-padded: Python strptime would take it,
+        # Spark's strict formatter does not → must fall back
     ]
 )
 tzs = st.sampled_from(
@@ -108,14 +110,19 @@ def model_metric(name, type_code):
 def model_ts(raw):
     # Mirrors parse_created_at's EXACT three-format family (the engine-
     # portable narrowing of the reference's JS `new Date`): ISO 'T' form,
-    # spaced form (UTC), Z-suffixed ISO. Anything else → receivedAt.
+    # spaced form (UTC), Z-suffixed ISO. Anything else → receivedAt. The
+    # strftime round-trip rejects what Python's strptime would leniently
+    # accept but Spark's strict DateTimeFormatter does not (non-zero-padded
+    # fields like '2024-1-5T3:4:5').
     if raw is None:
         return RECEIVED
     for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%SZ"):
         try:
-            return dt.datetime.strptime(raw, fmt)
+            parsed = dt.datetime.strptime(raw, fmt)
         except ValueError:
-            pass
+            continue
+        if parsed.strftime(fmt) == raw:
+            return parsed
     return RECEIVED
 
 

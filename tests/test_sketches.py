@@ -185,3 +185,22 @@ def test_versioned_state_survives_partial_write(spark, tmp_path):
     df, ver, tag = _read_latest_state(spark, root, schema)
     assert (ver, tag) == (1, "gen-b0")
     assert {(r.seed, r.bucket, r.cnt) for r in df.collect()} == {(0, 1, 5), (1, 2, 7)}
+
+
+def test_generation_id_survives_restart_but_not_rebuild(tmp_path):
+    """The incarnation id backing the sinks' retry detection: stable across
+    restarts that keep the checkpoint, fresh after an in-place checkpoint
+    rebuild (rm -rf at the SAME path) — so a rebuilt stream's batch 0 can
+    never be mistaken for a retry of the old incarnation's batch 0."""
+    import shutil
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        _generation_id,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    g1 = _generation_id(ckpt)
+    assert _generation_id(ckpt) == g1  # restart with checkpoint intact
+    shutil.rmtree(ckpt)
+    g2 = _generation_id(ckpt)  # in-place rebuild
+    assert g2 != g1

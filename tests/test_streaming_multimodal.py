@@ -279,9 +279,16 @@ def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path
         _dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp()
     )
 
-    # The dead attempt's claim: event 1 live in the ledger, tagged batch0.
+    # The dead attempt's claim: event 1 live in the ledger, tagged with THIS
+    # incarnation's batch-0 tag (fix the generation marker up front, exactly
+    # as the crashed attempt would have created it).
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        _generation_id,
+    )
+
+    tag = f"{_generation_id(str(tmp_path / 'ckpt'))}-b0"
     spark.createDataFrame(
-        [("ALOWARE:1", _dt.datetime(2024, 1, 15, 3), now_epoch + 86400, "batch0")],
+        [("ALOWARE:1", _dt.datetime(2024, 1, 15, 3), now_epoch + 86400, tag)],
         "pk string, seenAt timestamp, expiresAt long, writer_id string",
     ).write.mode("append").parquet(ledger)
 
