@@ -167,18 +167,29 @@ def start_ledger_gated_fact_sink(
     N carries a fresh generation, so it can neither adopt the old
     incarnation's claims (no duplicate re-emission) nor overwrite the old
     incarnation's committed output — a replayed event lands in exactly the
-    one subdirectory whose batch claimed its key, never twice, never lost.
+    one subdirectory whose batch claimed its key, never twice — with ONE
+    documented loss window: a batch that claimed keys and crashed before
+    writing output is recoverable only by the SAME incarnation's retry. If
+    the checkpoint is rebuilt while such a batch is outstanding, its claims
+    are orphaned (live in the ledger under a dead tag) and those events land
+    in no output — drain or let the stream finish its in-flight batch before
+    deleting a checkpoint, or use the Delta MERGE ledger path
+    (``ledger_update_auto``) where claim+output can share one transactional
+    table. Output layout is ``gen=<id>/batch_id=<n>/FactDateKey=<d>/``;
+    readers of ``output_dir`` see ``gen``/``batch_id`` as partition columns
+    — do not mix differently-laid-out data in one output root.
     """
     from ..operators.dedup import LedgerLock, keep_first
+    from ..operators.materialize import pin
 
     sink_ledger_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
+    gen = _generation_id(checkpoint_dir)  # immutable per incarnation
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         now = now_epoch if now_epoch is not None else int(time.time())
-        gen = _generation_id(checkpoint_dir)
         tag = f"{gen}-b{batch_id}"
         unique = keep_first(
             batch_df, ["EventID"], [F.col("EventTime"), F.col("Notes")]
@@ -191,7 +202,10 @@ def start_ledger_gated_fact_sink(
             live = ledger.filter(F.col("expiresAt") >= F.lit(now)).select(
                 F.col("pk").alias("EventID")
             )
-            claims = (
+            # pin: the claim set is consumed twice (emptiness check + the
+            # append) — materialize the micro-batch-sized result once
+            # instead of running the ledger anti-join twice under the lock.
+            claims = pin(
                 unique.join(live, "EventID", "left_anti")
                 .select(
                     F.col("EventID").alias("pk"),
@@ -201,7 +215,8 @@ def start_ledger_gated_fact_sink(
                     ),
                     F.lit(tag).alias("writer_id"),
                 )
-                .dropDuplicates(["pk"])
+                .dropDuplicates(["pk"]),
+                required=True,
             )
             # An all-duplicate batch claims nothing — skip the append so a
             # long-running stream doesn't shed one empty parquet file set
@@ -410,19 +425,47 @@ def _generation_id(checkpoint_dir: str) -> str:
     rebuilt stream gets a FRESH id — batch numbers restarting at 0 can never
     masquerade as retries of the old incarnation's batches; (c) two
     pipelines never share an id (distinct checkpoint dirs → distinct
-    markers)."""
+    markers).
+
+    LOCAL-FS ONLY (same contract as :func:`_read_latest_state`): the marker
+    must live WITH the checkpoint, so a URI-schemed checkpoint location
+    (s3://, hdfs://, ...) is rejected loudly rather than silently binding
+    the id to a driver-local path that neither fails over nor gets deleted
+    with the real checkpoint — swap these ``os`` calls for the storage API
+    when deploying against remote checkpoints.
+
+    Concurrent-writer safe (first writer wins): the marker is created with
+    O_EXCL from a per-process temp file, and the value RETURNED is always
+    re-read from disk after the create attempt, never the locally generated
+    one.
+    """
     import os
     import uuid
 
+    if "://" in checkpoint_dir:
+        raise ValueError(
+            f"checkpoint_dir={checkpoint_dir!r} is a remote URI; the "
+            "incarnation marker requires local-filesystem checkpoint "
+            "semantics (see docstring)"
+        )
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "__spark_graft_generation")
     if not os.path.exists(marker):
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(uuid.uuid4().hex[:12])
-        os.replace(tmp, marker)
-    with open(marker) as fh:
-        return fh.read().strip()
+        try:
+            # atomic first-writer-wins: O_EXCL create loses cleanly if
+            # another process already made the marker
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(uuid.uuid4().hex[:12])
+        except FileExistsError:
+            pass
+    for _ in range(100):  # a concurrent creator may not have written yet
+        with open(marker) as fh:
+            val = fh.read().strip()
+        if val:
+            return val
+        time.sleep(0.01)
+    raise RuntimeError(f"empty generation marker at {marker}")
 
 
 def _read_latest_state(spark: SparkSession, state_root: str, schema: str):
@@ -520,16 +563,16 @@ def start_cms_counter_sink(
     from ..operators.sketches import cms_counters
 
     counter_schema = "seed int, bucket bigint, cnt bigint"
+    # Batch tags bind to the INCARNATION identity (uuid marker inside the
+    # checkpoint dir): a same-incarnation retry of batch N carries the same
+    # tag (→ no-op), while batch N of a rebuilt checkpoint — even at the
+    # same path — gets a fresh generation and folds.
+    gen = _generation_id(checkpoint_dir)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # Batch tags bind to the INCARNATION identity (uuid marker inside the
-        # checkpoint dir): a same-incarnation retry of batch N carries the
-        # same tag (→ no-op), while batch N of a rebuilt checkpoint — even at
-        # the same path — gets a fresh generation and folds.
-        gen = _generation_id(checkpoint_dir)
         prev, ver, tag = _read_latest_state(spark, counters_path, counter_schema)
         if tag == f"{gen}-b{batch_id}":
             return  # retry of an already-committed batch — idempotent no-op
@@ -574,12 +617,12 @@ def start_hll_distinct_sink(
     crash-safe versioned snapshots as the CMS sink.
     """
     schema = f"{group_col} string, sketch binary"
+    gen = _generation_id(checkpoint_dir)  # see the CMS sink's note
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        gen = _generation_id(checkpoint_dir)  # see the CMS sink's note
         prev, ver, tag = _read_latest_state(spark, sketch_path, schema)
         if tag == f"{gen}-b{batch_id}":
             return  # retry of an already-committed batch — idempotent no-op
