@@ -210,6 +210,18 @@ def test_bloom_no_false_negatives_and_sane_fpp(spark):
     assert fp / 2000 < 0.05
 
 
+def test_bloom_non_word_multiple_bits(spark):
+    """num_bits is rounded up to a 64-bit word multiple (a raw 100_000 —
+    what the sizing formula actually yields — used to IndexError), and the
+    probe side derives its modulus from the bitmap length so build and test
+    always agree."""
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(500)], "pk string")
+    bitmap = dedup.bloom_build(keys, "pk", num_bits=100_000)
+    assert len(bitmap) == (100_000 + 63) // 64
+    flagged = dedup.bloom_maybe_flag(keys, bitmap, "pk")
+    assert flagged.filter(~F.col("__bloom_maybe")).count() == 0
+
+
 def test_ledger_gate_bloom_equals_exact_gate(spark):
     """The Bloom pre-gate must be a pure scan-reduction: its survivors are
     row-identical to the exact anti-join gate, including expired-entry
