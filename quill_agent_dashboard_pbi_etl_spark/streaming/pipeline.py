@@ -293,6 +293,58 @@ def streaming_corpus_gate(
     )
 
 
+def streaming_quality_drift(
+    spark: SparkSession,
+    landing_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Quality-filter DRIFT monitor: per (source, event-time window), the
+    keep-rate of the same row-local gates ``streaming_corpus_gate`` applies
+    — the monitoring companion the batch ``quality_filter`` docstring
+    promises ("filter-rate drift per source/date is monitorable").
+
+    Emits (window_start, window_end, source, n_docs, n_kept, keep_rate) as
+    closed tumbling windows (watermark + append mode → each window emits
+    exactly once). A keep-rate cliff on one source is the canonical early
+    signal of an upstream format change or crawler regression — this surfaces
+    it per micro-batch without a second scan of the corpus: the gate
+    predicate is evaluated once as a boolean column and aggregated, the
+    documents themselves never shuffle (only per-window counters do).
+    """
+    from ..functions import text as T
+
+    docs = (
+        spark.readStream.schema(DOC_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(landing_dir)
+    )
+    keep = (
+        (T.token_count(F.col("text")) >= min_tokens)
+        & (T.punct_ratio(F.col("text")) <= max_punct_ratio)
+    ).cast("long")
+    return (
+        docs.withColumn("keep", keep)
+        .withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", window_duration), F.col("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.avg("keep"), 6).alias("keep_rate"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "source",
+            "n_docs",
+            "n_kept",
+            "keep_rate",
+        )
+    )
+
+
 def start_streaming_near_dup_gate(
     spark: SparkSession,
     landing_dir: str,

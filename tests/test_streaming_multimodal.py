@@ -607,3 +607,57 @@ def test_streaming_near_dup_gate(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert ids == [1, 4, 6]
+
+
+def test_streaming_quality_drift_monitor(spark, tmp_path):
+    """Per-(source, window) keep-rates emit once per closed window: source B's
+    degraded batch shows the keep-rate cliff while source A stays at 1.0."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        streaming_quality_drift,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    out = tmp_path / "drift"
+    ckpt = tmp_path / "ckpt"
+
+    good = " ".join(f"token{i}" for i in range(30))
+    bad = "short"
+    rows = (
+        [(i, good, "en", "A", f"2024-01-15T09:{10+i}:00") for i in range(4)]
+        + [(10 + i, good if i < 1 else bad, "en", "B", f"2024-01-15T09:{10+i}:00")
+           for i in range(4)]
+        # late sentinel advances the watermark past 10:00 + delay → closes 9-10
+        + [(99, good, "en", "A", "2024-01-15T13:00:00")]
+    )
+    with open(landing / "b1.json", "w") as f:
+        for doc_id, text, lang, source, ts in rows:
+            f.write(
+                _json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": lang,
+                     "source": source, "event_time": ts}
+                )
+                + "\n"
+            )
+
+    drift = streaming_quality_drift(spark, str(landing))
+    q = (
+        drift.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.source, str(r.window_start)): (r.n_docs, r.n_kept, r.keep_rate)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[("A", "2024-01-15 09:00:00")] == (4, 4, 1.0)
+    assert got[("B", "2024-01-15 09:00:00")] == (4, 1, 0.25)
+    # the 13:00 window stays open (no later watermark) → not emitted
+    assert ("A", "2024-01-15 13:00:00") not in got
