@@ -1126,6 +1126,40 @@ from .registry import ORACLES as _ORACLES  # noqa: E402
 
 
 @register(
+    "quality_drift_by_source",
+    f"""
+WITH q AS ({_ORACLES['quality_filter']})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN q.keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+GROUP BY d.source
+""",
+)
+def q_quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch counterpart of the streaming quality-drift monitor
+    (streaming/pipeline.streaming_quality_drift): per-source keep-rate of the
+    FULL quality gate — the number an operator alerts on when one crawl
+    source starts shipping garbage. Reuses quality_filter's gate verdicts
+    (and its oracle as a CTE), so the monitored rate is exactly the rate the
+    corpus pipeline enforces. One shuffle on source; boolean aggregation
+    only — document text never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = q_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    return (
+        docs.select("doc_id", "source")
+        .join(verdicts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+        )
+    )
+
+
+@register(
     "corpus_stats_by_source",
     f"""
 WITH q AS ({_ORACLES['quality_scores']})
