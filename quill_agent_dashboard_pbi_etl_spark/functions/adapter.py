@@ -83,28 +83,123 @@ def infer_metric(event_name: Column, type_code: Column) -> Column:
     )
 
 
+# P5 pinned timestamp-format family — THE single source of truth. Each member
+# is (spark_format, guard_regex | None, duckdb_expr_template, tz_aware):
+#   * spark_format  — strict DateTimeFormatter pattern for try_to_timestamp
+#   * guard_regex   — anchored regex applied IDENTICALLY in both engines (and
+#     the property-test model). Every member is guarded because the engines'
+#     format languages are lenient in different ways: DuckDB strptime accepts
+#     non-zero-padded fields ('2024-1-5T3:4:5') that Spark's strict formatter
+#     rejects, Spark SSS reads '.1' as .100 (ISO) while DuckDB %g left-pads
+#     it to .001, and DuckDB %z accepts offset spellings Spark XXX rejects —
+#     each guard restricts both sides to the intersection (zero-padded
+#     fields, exactly 3 fraction digits, ±HH:MM offsets ≤ 14:59) so a value
+#     can never parse differently, or parse in only one engine.
+#   * duckdb_expr_template — '{col}'-templated DuckDB expression producing a
+#     naive UTC TIMESTAMP (tz-aware members are normalized via timezone()).
+# The family extends the original three (ISO 'T', spaced-UTC, Z-suffix) with
+# the millisecond and zone-offset ISO forms real webhook payloads carry
+# (JS `new Date` accepts all of these — aloware.adapter.ts:24-33); date-only
+# and exotic forms still fall back to receivedAt. Consumers that must stay in
+# lock-step: the adapter below, the DuckDB NORMALIZED_CTE
+# (sources/webhook_mapping.py), the dead-letter BAD_TIMESTAMP predicate
+# (operators/errors.py) + its oracle (plans/registry.py), and the
+# property-test model (tests/test_adapter_properties.py).
+_MS = r"\.\d{3}"
+_BASE_T = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+# Offsets capped at ±14:59 (the real-world IANA range is ±14:00): Java's XXX
+# rejects offsets past ±18:00 while DuckDB %z and Python %z accept arbitrary
+# ones — the shared guard keeps all three engines inside the agreed set.
+_OFFSET = r"[+-](0\d|1[0-4]):[0-5]\d$"
+TIMESTAMP_FAMILY: tuple[tuple[str, str | None, str, bool], ...] = (
+    (
+        "yyyy-MM-dd'T'HH:mm:ss",
+        _BASE_T + "$",
+        "try_strptime({col}, '%Y-%m-%dT%H:%M:%S')",
+        False,
+    ),
+    (
+        "yyyy-MM-dd HH:mm:ss",
+        r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$",
+        "try_strptime({col}, '%Y-%m-%d %H:%M:%S')",
+        False,
+    ),
+    (
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        _BASE_T + "Z$",
+        "try_strptime({col}, '%Y-%m-%dT%H:%M:%SZ')",
+        False,
+    ),
+    (
+        "yyyy-MM-dd'T'HH:mm:ss.SSS",
+        _BASE_T + _MS + "$",
+        "try_strptime({col}, '%Y-%m-%dT%H:%M:%S.%g')",
+        False,
+    ),
+    (
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+        _BASE_T + _MS + "Z$",
+        "try_strptime({col}, '%Y-%m-%dT%H:%M:%S.%gZ')",
+        False,
+    ),
+    (
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+        _BASE_T + _OFFSET,
+        "timezone('UTC', try_strptime({col}, '%Y-%m-%dT%H:%M:%S%z'))",
+        True,
+    ),
+    (
+        "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        _BASE_T + _MS + _OFFSET,
+        "timezone('UTC', try_strptime({col}, '%Y-%m-%dT%H:%M:%S.%g%z'))",
+        True,
+    ),
+)
+
+
+def try_parse_family(raw: Column) -> list[Column]:
+    """One try-parse Column per TIMESTAMP_FAMILY member (NULL = no match).
+    Guarded members wrap the parse in ``when(rlike)`` so both engines accept
+    the exact same string set; all are plain codegen'd expressions."""
+    out = []
+    for spark_fmt, guard, _, _ in TIMESTAMP_FAMILY:
+        parsed = F.try_to_timestamp(raw, F.lit(spark_fmt))
+        out.append(parsed if guard is None else F.when(raw.rlike(guard), parsed))
+    return out
+
+
+def timestamp_family_sql(col: str) -> list[str]:
+    """The DuckDB mirror: one expression per family member, NULL = no match.
+    Generated from the SAME table as the Spark side so the two can only
+    change together. (Composed into SQL via replace/concat, never
+    ``str.format`` — the guard regexes contain ``{}`` braces.)"""
+    exprs = []
+    for _, guard, duck_tpl, _ in TIMESTAMP_FAMILY:
+        e = duck_tpl.replace("{col}", col)
+        if guard is not None:
+            e = f"CASE WHEN regexp_matches({col}, '{guard}') THEN {e} END"
+        exprs.append(e)
+    return exprs
+
+
 def parse_created_at(raw: Column, received_at: Column) -> Column:
     """P5 timestamp coercion (aloware.adapter.ts:24-33, fallback :87).
 
-    Accepts EXACTLY three explicit formats — ISO 'T' form, the space-
+    Accepts EXACTLY the pinned TIMESTAMP_FAMILY — ISO 'T' form, the space-
     separated form (treated as UTC per the reference's replace-and-append-Z
-    normalization), and the Z-suffixed ISO form — anything else (fractional
-    seconds, zone offsets, date-only) falls back to ``receivedAt``. Explicit
-    format literals instead of the lenient ``try_to_timestamp`` default keep
-    the accepted family engine-portable: the DuckDB oracle
-    (sources/webhook_mapping.py), the dead-letter BAD_TIMESTAMP predicate
-    (operators/errors.py), and the property-test model all pin the identical
-    three patterns, so one row can never be "parsed" in one place and
-    "unparseable" in another. (Deliberate narrowing vs the reference's JS
-    ``new Date``, which accepts engine-specific extras no SQL engine
-    mirrors exactly.) Session tz is UTC → naive forms read as UTC instants.
+    normalization), the Z-suffixed ISO form, and the millisecond / ±HH:MM
+    zone-offset variants (offsets normalized to UTC) — anything else
+    (date-only, short fractions, compact offsets) falls back to
+    ``receivedAt``. Explicit format literals + shared guards instead of the
+    lenient ``try_to_timestamp`` default keep the accepted family
+    engine-portable: the DuckDB oracle, the dead-letter BAD_TIMESTAMP
+    predicate, and the property-test model all derive from the same pinned
+    table, so one row can never be "parsed" in one place and "unparseable"
+    in another. (Deliberate narrowing vs the reference's JS ``new Date``,
+    which accepts engine-specific extras no SQL engine mirrors exactly.)
+    Session tz is UTC → naive forms read as UTC instants.
     """
-    return F.coalesce(
-        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-        received_at,
-    )
+    return F.coalesce(*try_parse_family(raw), received_at)
 
 
 def effective_tz(tz: Column) -> Column:

@@ -37,6 +37,7 @@ from ..functions.adapter import (
     event_id,
     infer_metric,
     is_outbound,
+    try_parse_family,
 )
 
 
@@ -50,28 +51,16 @@ def _code(cond: Column, code: str, severity: str) -> Column:
 def route_dead_letters(webhooks: DataFrame) -> DataFrame:
     """Webhook-shaped batch → FactErrorLog rows
     (EventID, source, error_code, severity, received_date)."""
-    # BAD_TIMESTAMP mirrors parse_created_at's EXACT three-format family
-    # (functions/adapter.py P5): ISO 'T' form, space-separated form, and
-    # Z-suffixed ISO. Explicit format literals, NOT the lenient
-    # try_to_timestamp default, so the predicate is engine-portable — the
-    # DuckDB oracle's try_strptime triple classifies every value
-    # identically, and a row flagged BAD_TIMESTAMP here is guaranteed to be
-    # the same row the adapter actually coerced to receivedAt.
-    iso = F.try_to_timestamp(
-        F.col("created_at_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss")
-    )
-    spaced = F.try_to_timestamp(
-        F.col("created_at_raw"), F.lit("yyyy-MM-dd HH:mm:ss")
-    )
-    zulu = F.try_to_timestamp(
-        F.col("created_at_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
-    )
-    parse_failed = (
-        F.col("created_at_raw").isNotNull()
-        & iso.isNull()
-        & spaced.isNull()
-        & zulu.isNull()
-    )
+    # BAD_TIMESTAMP mirrors parse_created_at's EXACT pinned format family
+    # (functions/adapter.py TIMESTAMP_FAMILY, P5) by construction — the
+    # predicate is generated from the same table as the adapter's coalesce
+    # and the DuckDB oracle's expression list, so a row flagged
+    # BAD_TIMESTAMP here is guaranteed to be the same row the adapter
+    # actually coerced to receivedAt, in both engines.
+    tries = try_parse_family(F.col("created_at_raw"))
+    parse_failed = F.col("created_at_raw").isNotNull()
+    for t in tries:
+        parse_failed = parse_failed & t.isNull()
     outbound = is_outbound(F.col("event_name"), F.col("direction"))
     metric = infer_metric(F.col("event_name"), F.col("type_code"))
     bad_tz = F.col("tz").isNotNull() & ~F.col("tz").isin(*KNOWN_TIMEZONES)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions import text as T
-from ..functions.adapter import normalize_webhooks
+from ..functions.adapter import normalize_webhooks, timestamp_family_sql
 from ..operators import dedup, gates, rollups, similarity, skew, star
 from ..operators.materialize import pin
 from ..sources.readers import load_table
@@ -93,10 +93,7 @@ flags AS (
       WHEN lower(coalesce(event_name,'')) LIKE '%call%'
         OR type_code = 1 THEN 'CALLS'
     END AS MetricID,
-    created_at_raw IS NOT NULL
-      AND try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%S') IS NULL
-      AND try_strptime(created_at_raw, '%Y-%m-%d %H:%M:%S') IS NULL
-      AND try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%SZ') IS NULL AS parse_failed,
+    created_at_raw IS NOT NULL AND @PARSE_FAILED@ AS parse_failed,
     tz IS NOT NULL AND tz NOT IN {{KNOWN_TZ}} AS bad_tz,
     owner_id IS NULL AND user_id IS NULL AS agent_unknown
   FROM webhooks
@@ -115,7 +112,15 @@ FROM flags WHERE bad_tz
 UNION ALL
 SELECT EventID, source, 'AGENT_UNKNOWN', 'WARN', received_date
 FROM flags WHERE agent_unknown
-""".replace("{KNOWN_TZ}", _KNOWN_TZ_SQL),
+""".replace("{KNOWN_TZ}", _KNOWN_TZ_SQL).replace(
+        # Generated from the SAME pinned family as the Spark predicate
+        # (functions/adapter.py TIMESTAMP_FAMILY) — token-replaced, never
+        # str.format (the guard regexes contain {} braces).
+        "@PARSE_FAILED@",
+        " AND ".join(
+            f"({e}) IS NULL" for e in timestamp_family_sql("created_at_raw")
+        ),
+    ),
 )
 def q_fact_error_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FactErrorLog dead-letter routing (operators/errors.py): one row per

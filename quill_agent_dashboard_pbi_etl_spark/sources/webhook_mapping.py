@@ -152,9 +152,17 @@ webhooks AS (
 # generated from the SAME source as the engine (adapter.KNOWN_TIMEZONES =
 # zoneinfo.available_timezones()) so both sides accept every valid IANA zone
 # and fall back to UTC for anything else, byte-identically.
-from quill_agent_dashboard_pbi_etl_spark.functions.adapter import KNOWN_TIMEZONES
+from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+    KNOWN_TIMEZONES,
+    timestamp_family_sql,
+)
 
 _KNOWN_TZ_SQL = "(" + ",".join(f"'{z}'" for z in KNOWN_TIMEZONES) + ")"
+
+# The pinned timestamp family, rendered once for the adapter CTE (generated
+# from functions.adapter.TIMESTAMP_FAMILY — the Spark expression and this SQL
+# can only change together).
+_TS_FAMILY_SQL = ",\n      ".join(timestamp_family_sql("created_at_raw"))
 
 NORMALIZED_CTE = f"""
 {WEBHOOKS_CTE},
@@ -176,9 +184,7 @@ adapter AS (
         OR type_code = 1 THEN 'CALLS'
     END AS MetricID,
     coalesce(
-      try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%S'),
-      try_strptime(created_at_raw, '%Y-%m-%d %H:%M:%S'),
-      try_strptime(created_at_raw, '%Y-%m-%dT%H:%M:%SZ'),
+      @TS_FAMILY@,
       receivedAt
     ) AS event_ts,
     coalesce(CAST(owner_id AS VARCHAR), CAST(user_id AS VARCHAR), 'unknown') AS AgentID,
@@ -202,4 +208,4 @@ normalized AS (
   FROM adapter
   WHERE is_outbound AND MetricID IS NOT NULL
 )
-""".strip()
+""".strip().replace("@TS_FAMILY@", _TS_FAMILY_SQL)

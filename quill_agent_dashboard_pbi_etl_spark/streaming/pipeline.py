@@ -210,9 +210,14 @@ def start_ledger_gated_fact_sink(
                 .select(
                     F.col("EventID").alias("pk"),
                     F.col("EventTime").alias("seenAt"),
-                    (F.unix_timestamp("EventTime") + ttl_days * 86400).alias(
-                        "expiresAt"
-                    ),
+                    # expiresAt is PROCESSING time + TTL, matching the gate's
+                    # wall-clock filter and the reference's checkAndMark
+                    # (ledger.repo.ts:12, `now + DYNAMO_TTL_DAYS`): a claim
+                    # protects for ttl_days from when it was MADE. Deriving
+                    # it from event time would pre-expire claims for
+                    # late/backfill data older than the TTL, silently
+                    # re-admitting their duplicates in later micro-batches.
+                    F.lit(now + ttl_days * 86400).cast("long").alias("expiresAt"),
                     F.lit(tag).alias("writer_id"),
                 )
                 .dropDuplicates(["pk"]),

@@ -253,6 +253,52 @@ def test_ledger_gated_sink_dedups_across_checkpoint_loss(spark, tmp_path):
     assert got == ["ALOWARE:1", "ALOWARE:2", "ALOWARE:3"]
 
 
+def test_ledger_gated_sink_backfill_older_than_ttl_still_dedups(spark, tmp_path):
+    """TTL semantics regression: expiresAt is PROCESSING time + TTL (the
+    reference's checkAndMark, ledger.repo.ts:12), not event time + TTL. A
+    backfilled event whose EventTime predates the TTL window must still
+    write a LIVE claim, so its duplicate arriving via a later instance is
+    dropped — with event-time-derived expiry the claim would be born
+    expired and the duplicate re-emitted."""
+    import datetime as _dt
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        envelopes_to_webhook_shape,
+        start_ledger_gated_fact_sink,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "fact"
+    ledger = str(tmp_path / "ledger")
+    # Wall clock 2024-03-01; the event's created_at (2024-01-15) is ~46 days
+    # old — far outside ttl_days=14 measured from EVENT time.
+    now_epoch = int(
+        _dt.datetime(2024, 3, 1, tzinfo=_dt.timezone.utc).timestamp()
+    )
+
+    def run_instance(ckpt_name):
+        stream = read_envelope_stream(spark, str(landing))
+        fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
+        q = start_ledger_gated_fact_sink(
+            fact, ledger, str(out), str(tmp_path / ckpt_name),
+            available_now=True, now_epoch=now_epoch,
+        )
+        q.awaitTermination(180)
+
+    with open(landing / "b1.json", "w") as f:
+        f.write(_json.dumps(_envelope(1)) + "\n")
+    run_instance("ckpt1")
+    # Fresh checkpoint replays the same old event: the claim must be live.
+    run_instance("ckpt2")
+    got = [r.EventID for r in spark.read.parquet(str(out)).collect()]
+    assert got == ["ALOWARE:1"]
+
+
 def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path):
     """Crash injection for the claim-then-verify protocol: a prior attempt of
     batch 0 CLAIMED event 1 in the ledger (tagged batch0) and died before
