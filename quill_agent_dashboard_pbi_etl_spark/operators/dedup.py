@@ -135,6 +135,13 @@ def bloom_build(
     return dense
 
 
+# Largest bitmap bloom_maybe_flag will embed in the plan: 2^26 bits = 8 MiB
+# bitmap = a 16 MiB hex literal. Past this the plan itself (serialization,
+# analysis, task-binary broadcast) becomes the bottleneck — the loud error
+# below names the alternatives instead of letting plan construction hang.
+MAX_BLOOM_LITERAL_BITS = 1 << 26
+
+
 def bloom_maybe_flag(
     df: DataFrame,
     bitmap: list[int],
@@ -143,31 +150,54 @@ def bloom_maybe_flag(
     flag_col: str = "__bloom_maybe",
 ) -> DataFrame:
     """Add ``flag_col``: True iff ``key_col`` MIGHT be in the Bloom set
-    (never a false negative). The bitmap rides the plan as an array<long>
-    literal; the k bit-tests are plain column expressions (variable shifts go
-    through SQL ``shiftrightunsigned``, whose Python wrapper only accepts
-    literal shift amounts)."""
+    (never a false negative).
+
+    The bitmap rides the plan as ONE hex-string literal (2 chars/byte) —
+    a word-per-expression ``array(lit, lit, …)`` encoding would create
+    num_bits/64 literal expressions, which stops analyzing long before the
+    8 KB-default story breaks (a 10^9-bit ledger sizing would mean ~15M
+    expressions). Each of the k probes is substring → conv(16) → bit-test,
+    all codegen'd JVM expressions (variable shifts via SQL ``shiftright``,
+    whose Python wrapper only accepts literal shift amounts).
+
+    Sizings beyond ``MAX_BLOOM_LITERAL_BITS`` (2^26 bits ≈ 4.6M keys at 1%
+    fpp) raise: at that scale ship the bitmap as a broadcast table joined on
+    word index, or skip the pre-gate — the exact anti-join (ledger_gate)
+    with AQE is the honest fallback, not a multi-hundred-MB plan literal.
+    """
     num_bits = 64 * len(bitmap)
-    arr = F.array(*[F.lit(int(w)) for w in bitmap])
-    out = df.withColumn("__bloom_words", arr)
+    if num_bits > MAX_BLOOM_LITERAL_BITS:
+        raise ValueError(
+            f"Bloom bitmap is {num_bits} bits ({num_bits // (8 << 20)} MiB); "
+            f"embedding more than MAX_BLOOM_LITERAL_BITS="
+            f"{MAX_BLOOM_LITERAL_BITS} as a plan literal makes plan "
+            "construction/serialization the bottleneck. Use the exact "
+            "ledger_gate anti-join, or restructure the pre-gate as a "
+            "broadcast join on word index."
+        )
+    packed = b"".join(
+        (int(w) & ((1 << 64) - 1)).to_bytes(8, "little") for w in bitmap
+    )
+    out = df.withColumn("__bloom_hex", F.lit(packed.hex()))
     hit_cols = []
     for i in range(num_hashes):
         out = out.withColumn(
             f"__bpos{i}",
             F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)),
         )
+        # byte p//8 of the packed little-endian bitmap holds bit p%8.
         hit_cols.append(
             F.expr(
-                f"(shiftrightunsigned(element_at(__bloom_words, "
-                f"CAST(__bpos{i} / 64 AS INT) + 1), "
-                f"CAST(__bpos{i} % 64 AS INT)) & 1L) = 1L"
+                f"(shiftright(CAST(conv(substring(__bloom_hex, "
+                f"CAST(__bpos{i} / 8 AS INT) * 2 + 1, 2), 16, 10) AS INT), "
+                f"CAST(__bpos{i} % 8 AS INT)) & 1) = 1"
             )
         )
     maybe = hit_cols[0]
     for h in hit_cols[1:]:
         maybe = maybe & h
     out = out.withColumn(flag_col, maybe)
-    return out.drop("__bloom_words", *[f"__bpos{i}" for i in range(num_hashes)])
+    return out.drop("__bloom_hex", *[f"__bpos{i}" for i in range(num_hashes)])
 
 
 def ledger_gate_bloom(

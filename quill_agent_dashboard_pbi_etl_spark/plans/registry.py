@@ -1760,11 +1760,17 @@ def q_frequent_tokens_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-bound contract for the count-min sketch (operators/sketches.py,
     same pattern as the HLL/t-digest contracts): the exact top-20 token
     document-frequencies are oracle-verified, and ``est_ok`` asserts the CMS
-    point-estimate for each obeys the classic sandwich
-    ``true ≤ est ≤ true + (e/width)·N`` — an overestimate-only sketch whose
-    slack is bounded by total stream length, so a hashing or merge
-    regression flips the hash-checked boolean. The raw estimate is NOT
-    emitted (it is engine-specific); only the bound verdict is."""
+    point-estimate for each obeys the sandwich
+    ``true ≤ est ≤ true + 4·(e/width)·N`` — overestimate-only, slack bounded
+    by total stream length, so a hashing or merge regression flips the
+    hash-checked boolean. The 4x epsilon makes the contract union-bound
+    safe: the classic 1x bound holds only w.p. ~ 1-e^-depth per key (~1.8%
+    at depth 4 — ~30% that SOME of 20 keys trips on a testdata regeneration
+    with no sketch bug), while per-row Markov at 4x gives
+    P(excess > 4eN/width) <= (4e)^-depth ~ 7e-5 per key, ~0.1% across all
+    20 — the row only flips on genuine hashing/merge defects. The raw
+    estimate is NOT emitted (it is engine-specific); only the bound verdict
+    is."""
     from math import e as _e
 
     from ..operators import sketches
@@ -1785,7 +1791,7 @@ def q_frequent_tokens_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sketches.cms_estimate(top, counters, "token", depth, width)
     total = tok.agg(F.count("*").alias("__n"))
-    slack = F.ceil(F.lit(_e / width) * F.col("__n"))
+    slack = F.ceil(F.lit(4 * _e / width) * F.col("__n"))
     return (
         top.join(est, "token")
         .crossJoin(broadcast(total))

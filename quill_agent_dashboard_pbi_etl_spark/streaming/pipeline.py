@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.adapter import normalize_webhooks, to_physical_rows
 from ..schemas import ALOWARE_BODY_SCHEMA
+from .state_store import StateStorage, storage_for
 
 # Landing-dir JSON shape: one envelope per line {source, body, receivedAt}.
 ENVELOPE_JSON_SCHEMA = (
@@ -132,6 +133,7 @@ def start_ledger_gated_fact_sink(
     trigger_seconds: int = 60,
     available_now: bool = False,
     now_epoch: int | None = None,
+    storage: StateStorage | None = None,
 ) -> StreamingQuery:
     """K4 under streaming: per-micro-batch atomic ledger gate+mark against an
     EXTERNAL parquet ledger (the reference's DynamoDB cycle verbatim,
@@ -183,7 +185,7 @@ def start_ledger_gated_fact_sink(
     from ..operators.materialize import pin
 
     sink_ledger_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
-    gen = _generation_id(checkpoint_dir)  # immutable per incarnation
+    gen = _generation_id(checkpoint_dir, storage)  # immutable per incarnation
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -473,9 +475,9 @@ def start_streaming_near_dup_gate(
     return writer.start()
 
 
-def _generation_id(checkpoint_dir: str) -> str:
+def _generation_id(checkpoint_dir: str, storage: StateStorage | None = None) -> str:
     """Stable unique id for THIS incarnation of a stream, persisted as a
-    marker file inside the checkpoint directory. Properties the sinks rely
+    marker object inside the checkpoint directory. Properties the sinks rely
     on: (a) retries within one incarnation see the same id (the marker
     survives restarts that keep the checkpoint); (b) an in-place checkpoint
     rebuild (rm -rf + restart at the SAME path) deletes the marker, so the
@@ -484,77 +486,66 @@ def _generation_id(checkpoint_dir: str) -> str:
     pipelines never share an id (distinct checkpoint dirs → distinct
     markers).
 
-    LOCAL-FS ONLY (same contract as :func:`_read_latest_state`): the marker
-    must live WITH the checkpoint, so a URI-schemed checkpoint location
-    (s3://, hdfs://, ...) is rejected loudly rather than silently binding
-    the id to a driver-local path that neither fails over nor gets deleted
-    with the real checkpoint — swap these ``os`` calls for the storage API
-    when deploying against remote checkpoints.
+    All control-state I/O goes through :class:`StateStorage`
+    (``state_store.py``): local checkpoints default to the POSIX backend,
+    URI-schemed ones raise until a backend for the scheme is passed — the
+    marker must live WITH the checkpoint, never on a driver-local path that
+    neither fails over nor gets deleted with the real checkpoint.
 
-    Concurrent-writer safe (first writer wins): the marker is created with
-    O_EXCL from a per-process temp file, and the value RETURNED is always
-    re-read from disk after the create attempt, never the locally generated
-    one.
+    Concurrent-writer safe (first writer wins) and never-empty: the backend's
+    ``put_if_absent`` publishes the whole value atomically (POSIX impl:
+    write-temp + hard-link), and the value RETURNED is always re-read from
+    the store after the create attempt, never the locally generated one.
     """
-    import os
     import uuid
 
-    if "://" in checkpoint_dir:
-        raise ValueError(
-            f"checkpoint_dir={checkpoint_dir!r} is a remote URI; the "
-            "incarnation marker requires local-filesystem checkpoint "
-            "semantics (see docstring)"
-        )
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "__spark_graft_generation")
-    if not os.path.exists(marker):
-        try:
-            # atomic first-writer-wins: O_EXCL create loses cleanly if
-            # another process already made the marker
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as fh:
-                fh.write(uuid.uuid4().hex[:12])
-        except FileExistsError:
-            pass
-    for _ in range(100):  # a concurrent creator may not have written yet
-        with open(marker) as fh:
-            val = fh.read().strip()
-        if val:
-            return val
-        time.sleep(0.01)
-    raise RuntimeError(f"empty generation marker at {marker}")
+    storage = storage or storage_for(checkpoint_dir)
+    storage.ensure_dir(checkpoint_dir)
+    marker = f"{checkpoint_dir.rstrip('/')}/__spark_graft_generation"
+    storage.put_if_absent(marker, uuid.uuid4().hex[:12])
+    val = (storage.get_text(marker) or "").strip()
+    if not val:
+        raise RuntimeError(f"empty generation marker at {marker}")
+    return val
 
 
-def _read_latest_state(spark: SparkSession, state_root: str, schema: str):
+def _read_latest_state(
+    spark: SparkSession,
+    state_root: str,
+    schema: str,
+    storage: StateStorage | None = None,
+):
     """(DataFrame, version, batch_tag) of the newest COMPLETE snapshot under
     ``state_root`` (a ``v=N`` dir is complete iff its ``_BATCH-<tag>`` marker
     exists — the marker is stamped only after the parquet commit). Empty
-    DataFrame / version 0 / no tag when no snapshot exists. Local-FS
-    listing; on an object store swap the two ``os`` calls for the storage
-    API — the versioned-snapshot protocol is the point, not the FS calls."""
-    import os
-
+    DataFrame / version 0 / no tag when no snapshot exists. Listing goes
+    through :class:`StateStorage`; the parquet payload goes through Spark —
+    the versioned-snapshot protocol is the point, not the FS calls."""
+    storage = storage or storage_for(state_root)
+    root = state_root.rstrip("/")
     complete = []
-    if os.path.isdir(state_root):
-        for d in os.listdir(state_root):
-            if not d.startswith("v="):
-                continue
-            markers = [
-                m
-                for m in os.listdir(os.path.join(state_root, d))
-                if m.startswith("_BATCH-")
-            ]
-            if markers:
-                complete.append((int(d[2:]), markers[0][len("_BATCH-"):]))
+    for d in storage.list_dir(root):
+        if not d.startswith("v="):
+            continue
+        markers = [
+            m for m in storage.list_dir(f"{root}/{d}") if m.startswith("_BATCH-")
+        ]
+        if markers:
+            complete.append((int(d[2:]), markers[0][len("_BATCH-"):]))
     if not complete:
         return spark.createDataFrame([], schema), 0, None
     ver, tag = max(complete)
-    df = spark.read.schema(schema).parquet(os.path.join(state_root, f"v={ver}"))
+    df = spark.read.schema(schema).parquet(f"{root}/v={ver}")
     return df, ver, tag
 
 
 def _commit_state_version(
-    df: DataFrame, state_root: str, version: int, batch_tag: str, keep: int = 3
+    df: DataFrame,
+    state_root: str,
+    version: int,
+    batch_tag: str,
+    keep: int = 3,
+    storage: StateStorage | None = None,
 ) -> None:
     """Commit ``df`` as snapshot ``v=<version>``: write the parquet, stamp
     the ``_BATCH-<tag>`` completeness marker LAST, then GC snapshots older
@@ -563,26 +554,25 @@ def _commit_state_version(
     until the new one is fully committed — which is the crash window a
     read-then-overwrite-same-path design cannot close (delete-then-die →
     the retry silently bootstraps from empty)."""
-    import os
-    import shutil
-
-    dest = os.path.join(state_root, f"v={version}")
+    storage = storage or storage_for(state_root)
+    root = state_root.rstrip("/")
+    dest = f"{root}/v={version}"
     df.write.mode("overwrite").parquet(dest)
-    open(os.path.join(dest, f"_BATCH-{batch_tag}"), "w").close()
+    storage.put_marker(f"{dest}/_BATCH-{batch_tag}")
     versions = sorted(
-        int(d[2:]) for d in os.listdir(state_root) if d.startswith("v=")
+        int(d[2:]) for d in storage.list_dir(root) if d.startswith("v=")
     )
     for old in versions[:-keep]:
-        shutil.rmtree(os.path.join(state_root, f"v={old}"), ignore_errors=True)
+        storage.delete_tree(f"{root}/v={old}")
 
 
 def read_cms_counters(
-    spark: SparkSession, counters_path: str
+    spark: SparkSession, counters_path: str, storage: StateStorage | None = None
 ) -> DataFrame:
     """Latest committed CMS counter snapshot (pair with
     ``sketches.cms_estimate``)."""
     df, _, _ = _read_latest_state(
-        spark, counters_path, "seed int, bucket bigint, cnt bigint"
+        spark, counters_path, "seed int, bucket bigint, cnt bigint", storage
     )
     return df
 
@@ -596,6 +586,7 @@ def start_cms_counter_sink(
     width: int = 8192,
     trigger_seconds: int = 60,
     available_now: bool = False,
+    storage: StateStorage | None = None,
 ) -> StreamingQuery:
     """Streaming heavy-hitter counters: fold every micro-batch into ONE
     persistent count-min sketch (operators/sketches.py).
@@ -624,13 +615,15 @@ def start_cms_counter_sink(
     # checkpoint dir): a same-incarnation retry of batch N carries the same
     # tag (→ no-op), while batch N of a rebuilt checkpoint — even at the
     # same path — gets a fresh generation and folds.
-    gen = _generation_id(checkpoint_dir)
+    gen = _generation_id(checkpoint_dir, storage)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        prev, ver, tag = _read_latest_state(spark, counters_path, counter_schema)
+        prev, ver, tag = _read_latest_state(
+            spark, counters_path, counter_schema, storage
+        )
         if tag == f"{gen}-b{batch_id}":
             return  # retry of an already-committed batch — idempotent no-op
         merged = (
@@ -639,7 +632,9 @@ def start_cms_counter_sink(
             .groupBy("seed", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        _commit_state_version(merged, counters_path, ver + 1, f"{gen}-b{batch_id}")
+        _commit_state_version(
+            merged, counters_path, ver + 1, f"{gen}-b{batch_id}", storage=storage
+        )
 
     writer = keys_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -659,6 +654,7 @@ def start_hll_distinct_sink(
     value_col: str,
     trigger_seconds: int = 60,
     available_now: bool = False,
+    storage: StateStorage | None = None,
 ) -> StreamingQuery:
     """Streaming distinct-counting: one mergeable Datasketches HLL sketch per
     group, persisted and unioned per micro-batch (Spark 4's
@@ -674,13 +670,13 @@ def start_hll_distinct_sink(
     crash-safe versioned snapshots as the CMS sink.
     """
     schema = f"{group_col} string, sketch binary"
-    gen = _generation_id(checkpoint_dir)  # see the CMS sink's note
+    gen = _generation_id(checkpoint_dir, storage)  # see the CMS sink's note
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        prev, ver, tag = _read_latest_state(spark, sketch_path, schema)
+        prev, ver, tag = _read_latest_state(spark, sketch_path, schema, storage)
         if tag == f"{gen}-b{batch_id}":
             return  # retry of an already-committed batch — idempotent no-op
         merged = (
@@ -690,7 +686,9 @@ def start_hll_distinct_sink(
             .groupBy(group_col)
             .agg(F.hll_union_agg("sketch").alias("sketch"))
         )
-        _commit_state_version(merged, sketch_path, ver + 1, f"{gen}-b{batch_id}")
+        _commit_state_version(
+            merged, sketch_path, ver + 1, f"{gen}-b{batch_id}", storage=storage
+        )
 
     writer = keyed_stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -702,11 +700,16 @@ def start_hll_distinct_sink(
     return writer.start()
 
 
-def hll_estimates(spark: SparkSession, sketch_path: str, group_col: str) -> DataFrame:
+def hll_estimates(
+    spark: SparkSession,
+    sketch_path: str,
+    group_col: str,
+    storage: StateStorage | None = None,
+) -> DataFrame:
     """Point-read the latest committed HLL snapshot →
     (group, distinct_estimate)."""
     sk, _, _ = _read_latest_state(
-        spark, sketch_path, f"{group_col} string, sketch binary"
+        spark, sketch_path, f"{group_col} string, sketch binary", storage
     )
     return sk.select(
         F.col(group_col),

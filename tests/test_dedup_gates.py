@@ -222,6 +222,19 @@ def test_bloom_non_word_multiple_bits(spark):
     assert flagged.filter(~F.col("__bloom_maybe")).count() == 0
 
 
+def test_bloom_oversized_bitmap_raises_loudly(spark):
+    """Sizings past MAX_BLOOM_LITERAL_BITS must fail with guidance instead
+    of hanging plan construction on a multi-hundred-MB literal (the 100 TB
+    ledger sizing the build formula yields, ~10^9 bits, is deliberately out
+    of literal-embedding range)."""
+    import pytest
+
+    keys = spark.createDataFrame([("K:1",)], "pk string")
+    too_big = [0] * ((dedup.MAX_BLOOM_LITERAL_BITS // 64) + 1)
+    with pytest.raises(ValueError, match="ledger_gate anti-join"):
+        dedup.bloom_maybe_flag(keys, too_big, "pk")
+
+
 def test_ledger_gate_bloom_equals_exact_gate(spark):
     """The Bloom pre-gate must be a pure scan-reduction: its survivors are
     row-identical to the exact anti-join gate, including expired-entry

@@ -187,6 +187,76 @@ def test_versioned_state_survives_partial_write(spark, tmp_path):
     assert {(r.seed, r.bucket, r.cnt) for r in df.collect()} == {(0, 1, 5), (1, 2, 7)}
 
 
+def test_cms_sink_runs_on_object_store_primitives(spark, tmp_path):
+    """The sink protocols must need nothing stronger than the four
+    object-store control primitives (conditional put / get / list / delete
+    — no rename, link, or directory atomicity): the CMS sink run end-to-end
+    against the FakeRemoteStorage backend must persist the same counter
+    table as a batch sketch over the same keys."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        read_cms_counters,
+        start_cms_counter_sink,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.state_store import (
+        FakeRemoteStorage,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    counters_path = str(tmp_path / "counters")
+    remote = FakeRemoteStorage()
+    keys = [f"a{i % 3}" for i in range(30)]
+    with open(landing / "b1.json", "w") as f:
+        for k in keys:
+            f.write(_json.dumps({"key": k}) + "\n")
+    stream = spark.readStream.schema("key string").json(str(landing))
+    q = start_cms_counter_sink(
+        stream, counters_path, str(tmp_path / "ckpt"), "key",
+        depth=2, width=64, available_now=True, storage=remote,
+    )
+    q.awaitTermination(180)
+
+    persisted = read_cms_counters(spark, counters_path, storage=remote)
+    expected = sketches.cms_counters(
+        spark.createDataFrame([(k,) for k in keys], "key string"),
+        "key", depth=2, width=64,
+    )
+    lhs = {(r.seed, r.bucket): r.cnt for r in persisted.collect()}
+    rhs = {(r.seed, r.bucket): r.cnt for r in expected.collect()}
+    assert lhs == rhs
+    # And the generation marker went through the backend, not bare os calls:
+    marker = f"{tmp_path / 'ckpt'}/__spark_graft_generation"
+    assert (remote.get_text(marker) or "").strip()
+
+
+def test_state_storage_contracts(tmp_path):
+    """StateStorage backends: put_if_absent is first-writer-wins and the
+    object is never observable empty; URI paths demand an explicit
+    backend."""
+    import pytest
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.state_store import (
+        FakeRemoteStorage,
+        LocalPosixStorage,
+        storage_for,
+    )
+
+    for backend in (LocalPosixStorage(), FakeRemoteStorage()):
+        p = str(tmp_path / f"m_{type(backend).__name__}")
+        backend.ensure_dir(str(tmp_path))
+        assert backend.get_text(p) is None
+        assert backend.put_if_absent(p, "first") is True
+        assert backend.put_if_absent(p, "second") is False  # loser yields
+        assert backend.get_text(p) == "first"
+        assert backend.list_dir(str(tmp_path / "nope")) == []
+
+    assert isinstance(storage_for(str(tmp_path)), LocalPosixStorage)
+    with pytest.raises(ValueError, match="StateStorage backend"):
+        storage_for("s3://bucket/ckpt")
+
+
 def test_generation_id_survives_restart_but_not_rebuild(tmp_path):
     """The incarnation id backing the sinks' retry detection: stable across
     restarts that keep the checkpoint, fresh after an in-place checkpoint
