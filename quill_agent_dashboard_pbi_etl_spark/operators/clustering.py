@@ -92,20 +92,23 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    converged = False
-    for i in range(max_iter):
+
+    def one_round(lbl: DataFrame, jump: bool) -> DataFrame:
+        """(node, old_label, label) after one propagate (+ optional pointer
+        jump) over ``lbl``. Pointer jump = label-of-label: every label is
+        itself a node id, so the self-join always matches. ``jump=False``
+        for identity labels, where label[mid] == mid makes the join pure
+        cost."""
         neigh_min = (
             sym.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("label").alias("nlabel")
-                ),
+                lbl.select(F.col("node").alias("b"), F.col("label").alias("nlabel")),
                 "b",
             )
             .groupBy("a")
             .agg(F.min("nlabel").alias("min_neigh"))
         )
-        propagated = labels.join(
-            neigh_min, labels["node"] == neigh_min["a"], "left"
+        propagated = lbl.join(
+            neigh_min, lbl["node"] == neigh_min["a"], "left"
         ).select(
             "node",
             F.col("label").alias("old_label"),
@@ -113,45 +116,58 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("min_neigh"), F.col("label"))
             ).alias("mid_label"),
         )
-        # Pointer jump: label-of-label. Every label is itself a node id, so
-        # the self-join always matches; carry old + new label through one
-        # checkpoint so the convergence check is a cheap scan of materialized
-        # rows, not another join. Round 0 skips the jump: labels start as
-        # node ids, so label[mid_label] == mid_label and the join is an
-        # identity — pure cost.
-        if i == 0:
-            step = pin(
-                propagated.select(
-                    "node", "old_label", F.col("mid_label").alias("label")
-                ),
-                required=True,
+        if not jump:
+            return propagated.select(
+                "node", "old_label", F.col("mid_label").alias("label")
             )
-        else:
-            step = pin(
-                propagated.join(
-                    labels.select(
-                        F.col("node").alias("mid_label"), F.col("label").alias("jumped")
-                    ),
-                    "mid_label",
-                )
-                .select(
-                    "node",
-                    "old_label",
-                    F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
+        return (
+            propagated.join(
+                lbl.select(
+                    F.col("node").alias("mid_label"), F.col("label").alias("jumped")
                 ),
-                required=True,
+                "mid_label",
             )
+            .select(
+                "node",
+                "old_label",
+                F.least(F.col("mid_label"), F.col("jumped")).alias("label"),
+            )
+        )
+
+    if max_iter < 2:  # degenerate cap: one propagate, no convergence proof
+        step = pin(one_round(labels, jump=False), required=True)
+        return step.select("node", F.col("label").alias("cluster_id"))
+
+    # Rounds 0+1 share ONE action: round 0 (identity labels, jump skipped)
+    # is lazily persisted, so its three appearances inside round 1's plan
+    # (neighbor join, propagate join, pointer jump) materialize the cache
+    # once during round 1's pin instead of paying a separate eagerly-
+    # scheduled job — or, without the persist, recomputing round 0 three
+    # times (measured: plain lazy fusion is SLOWER than two pins because
+    # ReusedExchange does not dedup the three references under AQE).
+    # old_label carries round 0's output, so the convergence count below
+    # certifies round 1 changed nothing — near-dup graphs are dense little
+    # cliques (diameter 1-3) that converge in round 0, making one pin + one
+    # count the COMMON whole-loop cost (previously: two pins + a count).
+    # Later rounds still pin one step at a time, keeping the per-round plan
+    # constant-size.
+    l1 = one_round(labels, jump=False).select("node", "label").persist()
+    step = pin(one_round(l1, jump=True), required=True)
+    l1.unpersist()  # pinned step is materialized; the cache is dead weight
+    labels = step.select("node", "label")
+    converged = False
+    for i in range(1, max_iter):
+        changed = (
+            step.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        )
+        if changed == 0:
+            converged = True
+            break
+        if i == max_iter - 1:
+            break  # cap reached with labels still moving
+        step = pin(one_round(labels, jump=True), required=True)
         labels = step.select("node", "label")
-        # Round 1 changes labels for any graph with at least one edge —
-        # counting it is a wasted action; start checking from round 2.
-        if i > 0:
-            changed = (
-                step.filter(F.col("label") != F.col("old_label")).limit(1).count()
-            )
-            if changed == 0:
-                converged = True
-                break
-    if not converged and max_iter > 1:
+    if not converged:
         raise ValueError(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds; the component graph has pathological diameter — raise "
