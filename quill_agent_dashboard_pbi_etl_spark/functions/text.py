@@ -159,6 +159,32 @@ def quality_score_prepped(text: Column) -> Column:
     return _quality_score(token_count_prepped(), F.col("__toks"), text)
 
 
+def quality_gates_prepped() -> dict[str, Column]:
+    """THE corpus quality gate, single source of truth (Gopher-style): gate
+    name → fired?, over ``with_text_prep`` columns (plus raw ``text`` for
+    the punctuation gate). Every consumer — the batch ``quality_filter`` /
+    ``quality_drift_by_source`` queries, the composed corpus pipeline, and
+    the streaming drift monitor — derives keep/drop from THIS dict, so a
+    monitored keep-rate can never diverge from the enforced one (pinned by
+    tests/test_streaming_multimodal.py's batch↔streaming parity test)."""
+    stop = stopword_ratio_prepped()
+    wl = mean_token_len_prepped()
+    return {
+        "too_short": token_count_prepped() < 20,
+        "too_much_punct": punct_ratio(F.col("text")) > 0.2,
+        "stopword_band": ~((stop >= 0.05) & (stop <= 0.6)),
+        "token_len_band": ~((wl >= 2.5) & (wl <= 10.0)),
+    }
+
+
+def quality_keep_prepped() -> Column:
+    """keep = no quality gate fired (see :func:`quality_gates_prepped`)."""
+    fired = None
+    for gate in quality_gates_prepped().values():
+        fired = gate if fired is None else (fired | gate)
+    return ~fired
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct token set
     (the classic "fingerprint" key for clustering shared-vocabulary docs;

@@ -848,13 +848,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the decision + reasons, not just the surviving rows, so filter-rate
     drift per source/date is monitorable)."""
     docs = T.with_text_prep(load_table(spark, sf_dir, "documents"))
-    too_short = (T.token_count_prepped() < 20).alias("too_short")
-    too_punct = (T.punct_ratio(F.col("text")) > 0.2).alias("too_much_punct")
-    stop = T.stopword_ratio_prepped()
-    stop_band = (~((stop >= 0.05) & (stop <= 0.6))).alias("stopword_band")
-    wl = T.mean_token_len_prepped()
-    wl_band = (~((wl >= 2.5) & (wl <= 10.0))).alias("token_len_band")
-    gated = docs.select("doc_id", too_short, too_punct, stop_band, wl_band)
+    # Gate definitions come from the single shared source of truth — the
+    # same dict the streaming drift monitor folds into its keep-rate.
+    gates = T.quality_gates_prepped()
+    gated = docs.select(
+        "doc_id", *[gate.alias(name) for name, gate in gates.items()]
+    )
     return gated.select(
         "doc_id",
         (

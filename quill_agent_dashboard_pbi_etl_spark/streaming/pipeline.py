@@ -305,13 +305,17 @@ def streaming_quality_drift(
     landing_dir: str,
     window_duration: str = "1 hour",
     watermark_delay: str = "10 minutes",
-    min_tokens: int = 20,
-    max_punct_ratio: float = 0.2,
 ) -> DataFrame:
     """Quality-filter DRIFT monitor: per (source, event-time window), the
-    keep-rate of the same row-local gates ``streaming_corpus_gate`` applies
-    — the monitoring companion the batch ``quality_filter`` docstring
-    promises ("filter-rate drift per source/date is monitorable").
+    keep-rate of THE corpus quality gate — the monitoring companion the
+    batch ``quality_filter`` docstring promises ("filter-rate drift per
+    source/date is monitorable").
+
+    The keep decision is ``functions.text.quality_keep_prepped`` — the SAME
+    expression dict the batch ``quality_filter`` / ``quality_drift_by_source``
+    queries enforce, imported, not re-stated, so the monitored rate and the
+    enforced rate cannot diverge (a parity test lands identical documents as
+    files and as a stream and asserts identical per-source rates).
 
     Emits (window_start, window_end, source, n_docs, n_kept, keep_rate) as
     closed tumbling windows (watermark + append mode → each window emits
@@ -328,12 +332,10 @@ def streaming_quality_drift(
         .option("maxFilesPerTrigger", 64)
         .json(landing_dir)
     )
-    keep = (
-        (T.token_count(F.col("text")) >= min_tokens)
-        & (T.punct_ratio(F.col("text")) <= max_punct_ratio)
-    ).cast("long")
+    keep = T.quality_keep_prepped().cast("long")
     return (
-        docs.withColumn("keep", keep)
+        T.with_text_prep(docs)
+        .withColumn("keep", keep)
         .withWatermark("event_time", watermark_delay)
         .groupBy(F.window("event_time", window_duration), F.col("source"))
         .agg(

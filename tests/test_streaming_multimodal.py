@@ -669,7 +669,9 @@ def test_streaming_quality_drift_monitor(spark, tmp_path):
     out = tmp_path / "drift"
     ckpt = tmp_path / "ckpt"
 
-    good = " ".join(f"token{i}" for i in range(30))
+    # Passes the FULL shared quality gate (length, punctuation, stopword
+    # band, token-length band — functions/text.quality_gates_prepped).
+    good = "the data point " * 10
     bad = "short"
     rows = (
         [(i, good, "en", "A", f"2024-01-15T09:{10+i}:00") for i in range(4)]
