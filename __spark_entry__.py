@@ -60,78 +60,76 @@ def _wrap(fn: registry.Query) -> registry.Query:
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries() in
-# iteration order. Round-5 rotation policy: (a) never-verified / repaired /
-# round-1-stale entries first — fact_error_log (first-ever driver row for the
-# dead-letter operator), the two LSH queries repaired this round (the
-# _block_pairs_fn fix), the 7 entries deferred from round 4, and the two new
-# sketch error-bound contract rows; (b) the round-3-green backlog (verdicts
-# age out after two rounds — every r3-green entry gets a fresh row); (c) the
-# declared no-oracle tier, refreshed rows-only; (d) queries whose upstream
-# code changed this round (similarity.py pair kernel → the cluster family;
-# top-k limit form → frequent_tokens/q10/q15) plus the two operators NEW
-# this round (Bloom ledger pre-gate — exact-result scan reduction — and the
-# count-min-sketch error-bound contract; the composed corpus_pipeline_full).
-# dedup_minhash_lsh/_ngram_jaccard/semantic_dup_clusters (r4-green; their
-# changed pin()/pair-kernel paths are exercised in-window by the cluster
-# family that consumes the same pinned pipelines) yield their slots to the
-# new rows. Everything green in round 4 with unchanged code follows after
-# rank 50; tools/check_oracle.py still sweeps all entries regardless of
-# order.
+# iteration order. Round-6 rotation policy: (a) the ONLY never-driver-checked
+# entry (quality_drift_by_source, registered round 5 outside the window)
+# leads; (b) the five round-5-green entries whose upstream code changed AFTER
+# the round-5 driver run — the pinned-timestamp-family extension
+# (fact_error_log exercises the reject side), the hex Bloom-literal encoding
+# (ledger_gate_bloom), the union-bound-safe CMS slack
+# (frequent_tokens_cms_check), the shared quality-gate refactor
+# (quality_filter), and the merged CC round-0+1 step (corpus_pipeline_full
+# composes clustering + the quality gate); (c) the full round-4-green backlog
+# — all 44 entries whose latest verdict is r4-dated and would cross the
+# two-round freshness boundary this round (the P-family via adapter_normalize
+# and ingest_pipeline_full also re-exercises the extended timestamp family;
+# dup_clusters / dedup_survivors / semantic_dup_clusters re-exercise the
+# merged CC step). (a)+(b)+(c) = exactly 50. Every entry outside the window
+# was driver-green in round 5 with unchanged code since; tools/check_oracle.py
+# still sweeps all entries regardless of order.
 _DRIVER_PRIORITY = [
-    # -- (a) never-verified / repaired / stale-first --------------------------
-    "fact_error_log",          # first driver row (registered r4, oracle-green in pytest)
-    "embedding_lsh_recall",    # repaired: _block_pairs_fn now defined
-    "embedding_near_dup_lsh",  # repaired: _block_pairs_fn now defined
-    "time_filter_yesterday",
-    "time_filter_this_week",
-    "time_filter_last_week",
-    "time_filter_this_month",
-    "time_filter_last_month",
-    "value_percentiles",
-    "hubspot_stub",
-    "approx_distinct_agents_check",    # new: HLL 5%-error contract row
-    "value_percentiles_approx_check",  # new: t-digest 1%-rank-error contract row
-    # -- (b) round-3-green backlog (verdicts aging out) -----------------------
-    "ann_cosine_topk",
-    "ann_cosine_topk_vectorized",
-    "corpus_shards",
-    "corpus_stats_by_source",
-    "decontamination_flags",
-    "dedup_exact",
-    "dim_agent_sync",
-    "doc_fingerprint",
-    "embedding_near_dup",
-    "lang_id",
-    "multimodal_features",
-    "quality_filter",
-    "quality_scores",
-    "repetition_stats",
-    "rollup_grouping_sets",
-    "sequence_packing",
-    "stratified_sample",
-    "token_counts",
-    "tpch_q8_market_share",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_idle_customers",
-    # -- (c) declared no-oracle tier, rows-only refresh -----------------------
-    "approx_distinct_agents",
-    "value_percentiles_approx",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "multimodal_real_decode",
-    # -- (d) upstream code changed this round / new this round ----------------
-    "corpus_pipeline_full",    # new: composed training-data prep, full oracle
-    "ann_ivf_recall",          # similarity.py changed this round
-    "frequent_tokens",         # top-k limit form
-    "tpch_q10_returned_revenue",
-    "tpch_q15_top_supplier",
-    "ledger_gate_bloom",         # new: Bloom pre-gate, exact-oracle (ledger_gate's)
-    "frequent_tokens_cms_check",  # new: CMS error-bound contract row
+    # -- (a) never driver-checked --------------------------------------------
+    "quality_drift_by_source",
+    # -- (b) r5-green but code changed after the r5 driver run ----------------
+    "fact_error_log",             # extended pinned timestamp family (errors.py)
+    "ledger_gate_bloom",          # hex bitmap literal (dedup.py)
+    "frequent_tokens_cms_check",  # union-bound-safe slack (registry.py)
+    "quality_filter",             # shared gate dict (extensions.py/text.py)
+    "corpus_pipeline_full",       # merged CC round 0+1 + shared gate
+    # -- (c) round-4-green backlog hitting the two-round staleness boundary ---
+    "adapter_normalize",
+    "within_batch_dedup",
+    "ledger_gate",
+    "roster_gate",
+    "run_counters",
+    "dim_hints",
+    "ledger_update",
+    "ingest_pipeline_full",
+    "time_filter_today",
+    "daily_rollup",
+    "salted_metric_rollup",
+    "goal_attainment",
+    "pace_color",
+    "dim_date_seed",
+    "time_filter_custom_range",
+    "star_join_enriched",
+    "ensure_dims_missing_dates",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "region_revenue",
+    "tpch_q6_revenue_delta",
+    "tpch_q4_order_priority",
+    "tpch_q9_profit_by_nation",
+    "top_customers_per_nation",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q18_large_volume_customers",
+    "multi_source_union",
+    "cumulative_agent_counts",
+    "dim_metric_sync",
+    "dim_shift_sync",
+    "asof_last_purchase",
+    "events_in_shift",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q20_part_suppliers",
+    "tpch_q14_promo_revenue_share",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_near_dup",
+    "sessionize_events",
+    "dup_clusters",
+    "dedup_survivors",
+    "semantic_dup_clusters",
 ]
 
 

@@ -47,22 +47,28 @@ def main() -> None:
                 pass  # warm-up is best-effort; never fail the bench
         spark.catalog.clearCache()
 
-    # Per-query wall-clock = min of 2 measured runs (steady-state; local[N]
+    # Per-query wall-clock = min of 3 measured runs (steady-state; local[N]
     # single-JVM timings are noisy from GC/compilation — min is the standard
-    # steady-state estimator and both runs execute end-to-end on sf_dir).
+    # steady-state estimator and every run executes end-to-end on sf_dir).
+    # The per-query MEDIAN of the same runs goes to BENCH_DETAILS.json:
+    # NOTES.md documents a ±40% ambient-VM noise band on this box, and
+    # round-over-round deltas should be judged on medians, which that band
+    # whipsaws far less than single samples.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        samples: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - start)
+                samples.append(time.perf_counter() - start)
                 spark.catalog.clearCache()
-            timings[name] = round(best, 3)
+            timings[name] = round(min(samples), 3)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
             # Untimed extra pass for the result cardinality — a cross-round
             # drift check (a perf "win" that changes the row count is a bug).
             rows[name] = fn(spark, sf_dir).count()
@@ -95,6 +101,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "rows": rows,
         "errors": errors,
         "sf": sf,

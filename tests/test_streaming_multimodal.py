@@ -709,3 +709,76 @@ def test_streaming_quality_drift_monitor(spark, tmp_path):
     assert got[("B", "2024-01-15 09:00:00")] == (4, 1, 0.25)
     # the 13:00 window stays open (no later watermark) → not emitted
     assert ("A", "2024-01-15 13:00:00") not in got
+
+
+def test_batch_streaming_drift_parity(spark, tmp_path):
+    """The batch drift monitor (quality_drift_by_source) and the streaming one
+    (streaming_quality_drift) must report IDENTICAL per-source keep-rates on
+    identical documents — the docstring contract that the monitored rate can
+    never diverge from the enforced rate. Both derive keep from the shared
+    functions.text.quality_gates_prepped dict; this test pins that sharing by
+    landing the same real sf0.001 documents once as a parquet table (batch
+    path) and once as JSON files (streaming path) and diffing the outputs."""
+    import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.plans.extensions import (
+        q_quality_drift_by_source,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        streaming_quality_drift,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text", "lang", "source").collect()
+
+    # Batch side: the same rows as a documents table in a tmp sf_dir.
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    docs.write.parquet(str(sf_dir / "documents.parquet"))
+    batch = {
+        r.source: (r.n_docs, r.n_kept, r.keep_rate)
+        for r in q_quality_drift_by_source(spark, str(sf_dir)).collect()
+    }
+
+    # Streaming side: identical rows as JSONL, all inside the 09:00 window,
+    # plus a late watermark-advancing sentinel under a reserved source name.
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    out = tmp_path / "drift"
+    ckpt = tmp_path / "ckpt"
+    with open(landing / "b1.json", "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps(
+                    {"doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+                     "source": r.source, "event_time": "2024-01-15T09:30:00"}
+                )
+                + "\n"
+            )
+        f.write(
+            _json.dumps(
+                {"doc_id": -1, "text": "sentinel", "lang": "en",
+                 "source": "__sentinel__", "event_time": "2024-01-15T13:00:00"}
+            )
+            + "\n"
+        )
+
+    q = (
+        streaming_quality_drift(spark, str(landing))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.source: (r.n_docs, r.n_kept, r.keep_rate)
+        for r in spark.read.parquet(str(out)).collect()
+        if r.source != "__sentinel__"
+    }
+
+    assert streamed == batch
+    # and the fixture is non-degenerate: some source must actually drop docs
+    assert any(kept < n for n, kept, _ in batch.values())

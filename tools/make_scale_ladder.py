@@ -13,8 +13,16 @@ cross-replica pairs are never near-dups:
   original corpus, while cross-replica shingles can never collide. Naive
   copying would instead make every doc an exact dup of its replicas, inflating
   pair counts k²× and measuring the DATA, not the algorithm.
-* embeddings: vectors are rotated by k positions (norm- and
-  within-replica-cosine-preserving; cross-replica cosines decorrelate).
+* embeddings: vectors are rotated by k mod 64 positions and NEGATED for
+  k >= 64 (both transforms are norm- and within-replica-cosine-preserving;
+  cross-replica cosines decorrelate). Without the negation, replica k = 64+r
+  would alias replica r exactly (the rotation wraps at the 64-dim boundary)
+  and every aliased pair would be a spurious exact dup. Negation adds only
+  the anti-correlated tail (~20 pairs/replica-pair at cosine <= -0.5 in this
+  corpus) — an order of magnitude below the ~40/replica-pair random-background
+  tail that dominates cross-replica cosines at ANY salt (see SCALE.md: 100
+  replicas cannot be mutually decorrelated below the background tail in 64
+  dims; P(cos >= 0.5) ~ 3e-5 for iid directions at d=64).
 * events: event ids are offset per replica (new unique webhook identities;
   agents/timestamps unchanged, so per-key densities grow like real traffic
   growth).
@@ -62,10 +70,18 @@ def build_rung(out_dir: str, copies: int) -> None:
                        CAST(length(regexp_replace(text, '([A-Za-z0-9]+)', '\\1r{k}', 'g')) AS BIGINT) AS n_chars
                 FROM '{SRC}/documents.parquet'"""
             )
-            # rotate the vector by k dims: list_concat of the two slices
+            # rotate the vector by (k mod 64) dims: list_concat of the two
+            # slices; negate for k >= 64 so replicas never alias (see module
+            # docstring). r == 0 with negation (k == 64) still decorrelates.
+            r = k % 64
+            rotated = (
+                f"embedding[{r + 1}:] || embedding[1:{r}]" if r else "embedding"
+            )
+            if k >= 64:
+                rotated = f"list_transform({rotated}, x -> -x)"
             emb_parts.append(
                 f"""SELECT vec_id + {k * OFFSET} AS vec_id,
-                       embedding[{k + 1}:] || embedding[1:{k}] AS embedding,
+                       {rotated} AS embedding,
                        label
                 FROM '{SRC}/embeddings.parquet'"""
             )
@@ -85,7 +101,7 @@ def build_rung(out_dir: str, copies: int) -> None:
 
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
-    for sf, copies in (("sf0.3", 3), ("sf1", 10), ("sf3", 30)):
+    for sf, copies in (("sf0.3", 3), ("sf1", 10), ("sf3", 30), ("sf10", 100)):
         dest = os.path.join(out_root, sf)
         if os.path.isdir(dest):
             print(f"{sf} exists, skipping")
