@@ -87,3 +87,26 @@ def test_entry_contract(spark):
     # spot-run one query through the public contract
     out = qs["daily_rollup"](spark, "/root/testdata/sf0.001")
     assert out.count() > 0
+
+
+def test_driver_window_invariants():
+    """The driver's correctness sweep adjudicates the FIRST 50 queries()
+    entries. Freshness rotation is only sound if the head is well-formed:
+    no duplicate priority entries (a dup silently shrinks the window) and
+    every in-window entry is oracle-backed (a rows-only entry would burn a
+    slot on the weaker check unless that is an explicit, documented choice
+    — currently none are)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entrymod2", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    pri = mod._DRIVER_PRIORITY
+    assert len(pri) == len(set(pri)), "duplicate _DRIVER_PRIORITY entries"
+    assert len(pri) <= 50, "priority list exceeds the driver's 50-query cap"
+    window = list(mod.queries())[:50]
+    assert window[: len(pri)] == pri, "queries() does not lead with the priority list"
+    oracles = mod.oracle_sql()
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"in-window entries without an oracle: {missing}"
