@@ -205,15 +205,23 @@ def near_dup_by_cosine(
 
 
 def _block_pairs_fn(threshold: float, id_col: str, vec_col: str):
-    """Factory for the per-bucket pair-verification kernel used by
-    :func:`near_dup_by_cosine`: returns an ``applyInPandas`` function that,
-    given one (tbl, bucket) group of (id, vec) rows, emits every pair with
-    rounded cosine ≥ ``threshold`` as (vec_a, vec_b, cosine_sim) with
-    ``vec_a < vec_b`` — the same dense-matmul kernel as
-    :func:`blocked_near_dup_numpy`, parameterized by column names so the LSH
-    path can reuse it. Ids are sorted before the upper-triangular sweep, so
-    the ordering invariant holds and cross-table duplicates of a pair are
-    byte-identical rows."""
+    """Factory for the per-block pair-verification kernel shared by
+    :func:`near_dup_by_cosine` (per (tbl, bucket) group) and
+    :func:`blocked_near_dup_numpy` (per label block): returns an
+    ``applyInPandas`` function that, given one group of (id, vec) rows, emits
+    every pair with rounded cosine ≥ ``threshold`` as (vec_a, vec_b,
+    cosine_sim) with ``vec_a < vec_b``. Ids are sorted before the
+    upper-triangular sweep, so the ordering invariant holds and cross-table
+    duplicates of a pair are byte-identical rows.
+
+    The sweep is CHUNKED: similarity rows are computed ≤64 MB at a time
+    (chunk_rows × n float64), never the full n×n matrix. A dense n² buffer is
+    fine at a few hundred rows per block but is the memory cliff at scale —
+    a 12.5k-row bucket (sf10 ladder rung, 200k vectors / 16 buckets) would
+    need ~3.5 GB per task for sims + triu indices, and 32 concurrent Python
+    workers would OOM the host long before the executors blink. Per-pair
+    arithmetic (dot, then divide by the norm product, then round to 6) is
+    identical to the unchunked form, so results are bit-for-bit unchanged."""
     import numpy as np
     import pandas as pd
 
@@ -226,14 +234,29 @@ def _block_pairs_fn(threshold: float, id_col: str, vec_col: str):
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= threshold
+        n = len(ids)
+        chunk = max(256, min(4096, (64 << 20) // (8 * n)))
+        col_idx = np.arange(n)
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n)
+            sims = np.round(
+                (mat[s:e] @ mat.T) / np.outer(norms[s:e], norms), 6
+            )
+            keep = (sims >= threshold) & (
+                col_idx[None, :] > np.arange(s, e)[:, None]
+            )
+            ai, aj = np.nonzero(keep)
+            out_a.append(ids[ai + s])
+            out_b.append(ids[aj])
+            out_s.append(sims[ai, aj])
         return pd.DataFrame(
             {
-                "vec_a": ids[iu[0][keep]],
-                "vec_b": ids[iu[1][keep]],
-                "cosine_sim": sims[iu][keep],
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
             }
         )
 
@@ -467,35 +490,15 @@ def blocked_near_dup_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Blocked-exact near-dup pairs via one dense matmul per block
-    (applyInPandas). Within each block: B×B cosine in a single BLAS call
-    instead of one higher-order-function fold per pair — measured ~6× faster
-    than the JVM fold at 200-vector blocks, with bit-identical rounded
-    values. One shuffle (groupBy block); block size is the quadratic knob,
-    same as any blocked dedup."""
-    import numpy as np
-    import pandas as pd
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["vec_a", "vec_b", "cosine_sim"]
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(columns=cols)
-        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[0][keep]],
-                "vec_b": ids[iu[1][keep]],
-                "cosine_sim": sims[iu][keep],
-            }
-        )
-
+    """Blocked-exact near-dup pairs via chunked dense matmuls per block
+    (applyInPandas). Within each block: cosine rows in BLAS calls bounded to
+    ~64 MB each (see :func:`_block_pairs_fn`, the shared kernel) instead of
+    one higher-order-function fold per pair — measured ~6× faster than the
+    JVM fold at 200-vector blocks, with bit-identical rounded values. One
+    shuffle (groupBy block); block size is the quadratic COMPUTE knob, while
+    the chunked sweep keeps per-task memory flat no matter how big a block
+    gets."""
     return corpus.groupBy(block_col).applyInPandas(
-        block_pairs, "vec_a long, vec_b long, cosine_sim double"
+        _block_pairs_fn(threshold, id_col, vec_col),
+        "vec_a long, vec_b long, cosine_sim double",
     )
