@@ -229,3 +229,44 @@ def test_recall_harness_queries_report_in_contract(spark):
     assert len(ivf) == 10 and all(r.recall_ok for r in ivf)
     lsh = QUERIES["embedding_lsh_recall"](spark, sf).collect()
     assert len(lsh) == 1 and lsh[0].recall_ok and lsh[0].n_exact_pairs > 0
+
+
+def test_block_pairs_kernel_chunked_equals_dense():
+    """The shared pair-verification kernel sweeps the similarity matrix in
+    ≤64 MB chunks (the 100 TB memory-cliff guard: a 12.5k-row bucket must
+    not materialize an n² float64 buffer per task). Pin that chunking is
+    invisible: single-chunk (n ≤ 4096) and multi-chunk (n > 4096) inputs
+    produce pairs bit-identical to a dense upper-triangular reference, with
+    the vec_a < vec_b invariant intact. Pure numpy — no SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.similarity import (
+        _block_pairs_fn,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (2, 300, 5000):  # 5000 → chunk = 64MB/(8·5000) ≈ 1677 → 3 chunks
+        ids = rng.permutation(n * 3)[:n].astype(np.int64)
+        mat = rng.normal(size=(n, 16))
+        for i in range(0, n - 1, 7):  # plant near-dups
+            mat[i + 1] = mat[i] + rng.normal(scale=0.01, size=16)
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+
+        order = np.argsort(ids)
+        sids, smat = ids[order], mat[order]
+        norms = np.linalg.norm(smat, axis=1)
+        sims = np.round((smat @ smat.T) / np.outer(norms, norms), 6)
+        iu = np.triu_indices(n, k=1)
+        keep = sims[iu] >= 0.9
+        ref = sorted(zip(sids[iu[0][keep]], sids[iu[1][keep]], sims[iu][keep]))
+
+        got_df = _block_pairs_fn(0.9, "vec_id", "embedding")(pdf)
+        got = sorted(zip(got_df.vec_a, got_df.vec_b, got_df.cosine_sim))
+        assert got == ref
+        assert all(a < b for a, b, _ in got)
+    # degenerate single-row group emits the empty frame with the contract cols
+    empty = _block_pairs_fn(0.9, "vec_id", "embedding")(
+        pd.DataFrame({"vec_id": [1], "embedding": [np.ones(4)]})
+    )
+    assert list(empty.columns) == ["vec_a", "vec_b", "cosine_sim"] and empty.empty
