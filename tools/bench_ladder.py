@@ -49,6 +49,23 @@ def _lsh_t50(spark, sf_dir):
 # is Θ(n²) by construction (0.35 sits below the 64-dim background-cosine
 # tail), so above sf1 any correct algorithm's cost is the output's — the sf1
 # p=2.27 measurement plus the t50 variant already tell that whole story.
+def _lsh_t50_b8(spark, sf_dir):
+    """The named mitigation for _lsh_t50's super-linear rungs: grow
+    bucket_bits with log n. At fixed 4-bit buckets, bucket size grows
+    linearly with the corpus and per-bucket verification grows ~n²/2^bits;
+    8-bit buckets (256 per table) restore ~linear candidate volume at the
+    sf3-sf10 rungs while 12-table banding keeps near-dup recall ≈ 1-(1-p^8)^12
+    (≈ 0.999 at cosine 0.95). Same operator, same threshold — only the knob
+    the docstring prescribes for scale."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_by_cosine(
+        emb, threshold=0.5, bucket_bits=8, n_tables=12
+    )
+
+
 FAMILY = {
     "dedup_ngram_jaccard": (None, None),
     "dedup_minhash_lsh": (None, None),
@@ -57,6 +74,7 @@ FAMILY = {
     "dedup_survivors": (None, None),
     "embedding_near_dup_lsh": (None, "sf1"),
     "embedding_near_dup_lsh_t50": (_lsh_t50, None),
+    "embedding_near_dup_lsh_t50_b8": (_lsh_t50_b8, None),
     "ingest_pipeline_full": (None, None),
     "corpus_pipeline_full": (None, None),
 }
@@ -68,6 +86,25 @@ RUNGS = [
     ("sf3", None, 30.0),   # optional rungs; skipped if the dir is absent
     ("sf10", None, 100.0),
 ]
+
+
+def _release_blocks(spark) -> None:
+    """Drop cached tables AND orphaned localCheckpoint blocks between runs.
+
+    ``pin()`` intermediates are GC-released by design: their RDD blocks stay
+    in the block manager until the Python DataFrame is collected AND the JVM
+    notices. Back-to-back executions of a checkpoint-heavy query at the sf10
+    rung stack three generations of dead blocks in one heap — measured
+    failure mode: the third execution of dedup_ngram_jaccard@sf10 dies in
+    BroadcastExchange build ("Not enough memory to build and broadcast")
+    inside an 8 GiB JVM even though each single execution fits comfortably.
+    An explicit gc() on both sides makes the measured runs independent —
+    exactly what distinct executors would be."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()  # release Python-side DataFrame refs → JVM refs
+    spark.sparkContext._jvm.System.gc()  # reclaim the dropped RDD blocks
 
 
 def main() -> None:
@@ -103,10 +140,10 @@ def main() -> None:
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                     best = min(best, time.perf_counter() - t0)
-                    spark.catalog.clearCache()
+                    _release_blocks(spark)
                 timings[q][rung] = round(best, 3)
                 rows[q][rung] = fn(spark, sf_dir).count()
-                spark.catalog.clearCache()
+                _release_blocks(spark)
             except Exception as exc:
                 timings[q][rung] = -1.0
                 rows[q][rung] = -1
