@@ -170,6 +170,15 @@ def near_dup_by_cosine(
     (p ≈ 0.61); for classic ≥0.8 near-dup gating raise ``bucket_bits`` to
     8–16 for a deep candidate cut at the same recall.
 
+    ``bucket_bits`` must GROW with log(corpus) to stay linear: at fixed bits
+    the per-table bucket count is constant, so bucket size — and per-bucket
+    verification — grows with n²/2^bits. Measured on the scale ladder
+    (SCALE_LADDER.json, sf3→sf10 = 150k→500k docs' worth of vectors):
+    4 bits × 12 tables at cosine 0.5 scales at p ≈ 1.2, while 8 bits × 12
+    tables restores p = 0.69 and runs 3.9× faster at the top rung with
+    banding recall ≈ 0.999 for genuine near-dups. Rule of thumb:
+    bucket_bits ≈ log2(n / target_bucket_rows).
+
     Honest scaling boundary: the candidate-pruning power is the gap between
     the wanted pairs' bit-agreement p and the background's (~0.5 for nearly
     orthogonal vectors). At cosine ≥ 0.8 (p ≥ 0.8, 8 bits × 14 tables)
