@@ -115,6 +115,60 @@ def main() -> None:
         n_exact, n_bloom = exact.count(), bloom.count()
         assert n_exact == n_bloom, (rung, n_exact, n_bloom)
         res["survivors"] = n_exact
+
+        # The metric the Bloom gate actually targets: rows entering the
+        # anti-join (= shuffle volume once the ledger no longer broadcasts).
+        # Exact gate: every event. Bloom gate: only the maybes
+        # (true duplicates + fpp sliver). Local wall-clock barely moves at
+        # these sizes because a few-million-row SMJ saturates neither memory
+        # nor network on one box — the cut matters on network-bound
+        # clusters, so record the volume itself.
+        maybes = dedup.bloom_maybe_flag(
+            fact, dedup.bloom_build(
+                ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
+                    F.col("pk").alias("dedup_key")
+                ),
+                "dedup_key",
+                num_bits,
+            ),
+            "dedup_key",
+        ).filter(F.col("__bloom_maybe")).count()
+        res["antijoin_rows_exact"] = res["events"]
+        res["antijoin_rows_bloom"] = maybes
+
+        # Beyond-broadcast regime, emulated: when the TTL-live ledger
+        # outgrows the broadcast threshold the planner falls to a shuffle
+        # join for the anti-join — disabling broadcast reproduces exactly
+        # that plan on this rung's data. Both paths measured under the same
+        # setting (the Bloom side's maybe-join demotes too, which is fair:
+        # in that regime it also wouldn't broadcast).
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.set(key, "-1")
+        try:
+            t0 = time.perf_counter()
+            _noop(
+                dedup.ledger_gate(
+                    fact, ledger, key_col="dedup_key", now_epoch=now_epoch
+                )
+            )
+            res["exact_sec_nobcast"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _noop(
+                dedup.ledger_gate_bloom(
+                    fact, ledger, key_col="dedup_key", now_epoch=now_epoch,
+                    num_bits=num_bits,
+                )
+            )
+            res["bloom_sec_nobcast"] = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
         out[rung] = res
         print(f"{rung}: {res}")
 
