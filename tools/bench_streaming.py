@@ -1,0 +1,138 @@
+"""Measure streaming-ingest throughput: envelopes → normalize → watermarked
+dedup → partitioned parquet, end to end through the real §2.7 graph.
+
+The batch bench (bench.py) times the ingest graph under spark.read; this
+tool times the SAME graph compiled under readStream with
+``dropDuplicatesWithinWatermark`` state and the foreachBatch fact sink —
+the number that tells you whether the streaming path can keep up with a
+webhook firehose, and what the per-micro-batch overhead is.
+
+Per rung:
+1. (untimed prep) re-encode the rung's events table into raw webhook
+   envelope JSONL — the exact wire shape the reference's HTTP/Lambda
+   sources receive (aloware body JSON inside an envelope), split into
+   ``n_files`` landing files;
+2. (timed) drain the landing dir with availableNow through
+   ``streaming_fact_pipeline`` → ``start_fact_sink``; report events/s over
+   the wall clock and the micro-batch count (maxFilesPerTrigger=64 → the
+   drain runs ceil(n_files/64) batches, so n_files > 64 also measures
+   cross-batch dedup-state carry).
+
+Results merge into SCALE_LADDER.json under "streaming_ingest".
+
+Usage: python tools/bench_streaming.py [ladder_root] [rung ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from quill_agent_dashboard_pbi_etl_spark.session import get_spark
+from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+from quill_agent_dashboard_pbi_etl_spark.sources.webhook_mapping import (
+    events_as_webhooks,
+)
+from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+    read_envelope_stream,
+    start_fact_sink,
+    streaming_fact_pipeline,
+)
+
+RUNGS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": None,  # filled from ladder_root
+    "sf10": None,
+}
+
+
+def write_landing(spark, sf_dir: str, landing: str, n_files: int) -> int:
+    """Re-encode the events table as envelope JSONL landing files; returns
+    the event count. The aloware body JSON is rebuilt from the same
+    webhook-shape mapping the batch oracle uses, so the streamed pipeline
+    normalizes byte-identical facts."""
+    wh = events_as_webhooks(load_table(spark, sf_dir, "events"))
+    body = F.to_json(
+        F.struct(
+            F.col("event_name").alias("event"),
+            F.struct(
+                F.col("ext_id").alias("id"),
+                F.col("uuid_v4"),
+                F.col("direction"),
+                F.col("type_code").alias("type"),
+                F.col("created_at_raw").alias("created_at"),
+                F.col("owner_id"),
+                F.col("user_id"),
+                F.struct(F.col("tz").alias("timezone")).alias("contact"),
+            ).alias("body"),
+        )
+    )
+    env = wh.select(
+        "source",
+        body.alias("body"),
+        F.date_format("receivedAt", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+            "receivedAt"
+        ),
+    )
+    n = env.count()
+    env.repartition(n_files).write.mode("overwrite").json(landing)
+    return n
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
+    wanted = argv[1:] or list(RUNGS)
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict[str, float | int]] = {}
+    for rung in wanted:
+        sf_dir = RUNGS.get(rung) or os.path.join(ladder_root, rung)
+        if not os.path.isdir(sf_dir):
+            continue
+        work = tempfile.mkdtemp(prefix=f"stream_bench_{rung.replace('.', '_')}_")
+        landing = os.path.join(work, "landing")
+        sink = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        try:
+            n_files = 256  # 4 micro-batches at maxFilesPerTrigger=64
+            n_events = write_landing(spark, sf_dir, landing, n_files)
+
+            t0 = time.perf_counter()
+            stream = streaming_fact_pipeline(read_envelope_stream(spark, landing))
+            q = start_fact_sink(stream, sink, ckpt, available_now=True)
+            q.awaitTermination(1800)
+            wall = time.perf_counter() - t0
+
+            written = spark.read.parquet(sink).count()
+            out[rung] = {
+                "events_in": n_events,
+                "facts_out": written,
+                "wall_sec": round(wall, 3),
+                "events_per_sec": int(n_events / wall),
+                "micro_batches": math.ceil(n_files / 64),
+            }
+            print(f"{rung}: {out[rung]}")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    path = "/root/repo/SCALE_LADDER.json"
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data.setdefault("streaming_ingest", {}).update(out)
+    json.dump(data, open(path, "w"), indent=1)
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
