@@ -37,6 +37,9 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
+from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+    normalize_webhooks,
+)
 from quill_agent_dashboard_pbi_etl_spark.session import get_spark
 from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
 from quill_agent_dashboard_pbi_etl_spark.sources.webhook_mapping import (
@@ -84,7 +87,19 @@ def write_landing(spark, sf_dir: str, landing: str, n_files: int) -> int:
         ),
     )
     n = env.count()
-    env.repartition(n_files).write.mode("overwrite").json(landing)
+    # Files must land in TIME ORDER (range-partitioned on arrival time, and
+    # part-file numbering = range order = the file source's processing
+    # order): this is what a real webhook replay looks like. A random file
+    # split replays a month of history shuffled across micro-batches, and
+    # after the first batch the 14-day dedup watermark correctly classifies
+    # ~a quarter of the remaining events as late and DROPS them — measured
+    # 36,887 facts instead of 50,273 at sf0.1 before this fix. That is the
+    # operator working as specified (late data beyond the dedup horizon is
+    # discarded), but it makes the throughput number measure a different
+    # workload than the batch graph; main() asserts equivalence instead.
+    env.repartitionByRange(n_files, "receivedAt").write.mode(
+        "overwrite"
+    ).json(landing)
     return n
 
 
@@ -115,6 +130,17 @@ def main() -> None:
             wall = time.perf_counter() - t0
 
             written = spark.read.parquet(sink).count()
+            # Workload-equivalence check: the streamed drain must produce
+            # exactly what the batch graph produces on the same events —
+            # otherwise the throughput number describes a different job.
+            batch_facts = (
+                normalize_webhooks(
+                    events_as_webhooks(load_table(spark, sf_dir, "events"))
+                )
+                .dropDuplicates(["EventID"])
+                .count()
+            )
+            assert written == batch_facts, (rung, written, batch_facts)
             out[rung] = {
                 "events_in": n_events,
                 "facts_out": written,
