@@ -350,3 +350,28 @@ def test_ledger_crash_after_append_before_unlock(spark, tmp_path):
     assert [r.dedup_key for r in out2.collect()] == ["D:2"]  # D:1 gated
     ledger = spark.read.parquet(ledger_path)
     assert sorted(r.pk for r in ledger.collect()) == ["D:1", "D:2"]
+
+
+def test_bloom_probe_is_single_binary_literal_not_row_data(spark):
+    """Pin the probe ENCODING, not just its results — both measured
+    regressions (bloom_maybe_flag docstring): the bitmap carried as a
+    per-row column (every projection memcpys it per row), and a hex STRING
+    literal (character-indexed substring walks the literal per probe,
+    O(bitmap)). The plan must add only the flag column, reference the
+    bitmap as one BINARY literal (plan text shows 0x…, no quoted hex blob),
+    and never materialize a helper column."""
+    df = spark.createDataFrame([(f"K:{i}",) for i in range(10)], "pk string")
+    bitmap = dedup.bloom_build(df, "pk", num_bits=1 << 12)
+    flagged = dedup.bloom_maybe_flag(df, bitmap, "pk")
+    assert set(flagged.columns) == {"pk", "__bloom_maybe"}
+
+    plan = flagged._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bloom_hex" not in plan and "__bpos" not in plan
+    assert "0X" in plan.upper(), "bitmap should appear as a binary literal"
+    packed_hex = b"".join(
+        (int(w) & ((1 << 64) - 1)).to_bytes(8, "little") for w in bitmap
+    ).hex().upper()
+    assert f"'{packed_hex}'" not in plan.upper(), (
+        "bitmap must not appear as a quoted STRING literal (char-indexed "
+        "substring is O(bitmap) per probe)"
+    )
