@@ -1,0 +1,60 @@
+"""Registry-WIDE physical-plan invariant sweep.
+
+test_plan_quality.py pins deep properties on hand-picked queries; this file
+asserts the cheap global invariants on EVERY registry query's compiled plan
+(plan-only — nothing executes), so a regression anywhere in the 95-query
+surface fails the suite even if no targeted test covers that query:
+
+- no CartesianProduct, ever — an accidental unkeyed join at 100 TB is a
+  job-killer, and no registry query needs one;
+- BroadcastNestedLoopJoin only where it is the DESIGN (a deliberately tiny
+  broadcast side: ANN query sets, IVF centroid probes, LSH recall
+  harnesses, q15's max-join) — the allowlist is explicit so a new BNLJ
+  sneaking into any other query fails loudly;
+- no row-at-a-time Python (BatchEvalPython) anywhere — Python is allowed
+  ONLY in Arrow form (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
+  and only where the operator is genuinely Python-backed.
+
+The sweep builds the plan at the tiny SF so it runs in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
+from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
+
+from conftest import SF_SMALL
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin: every
+# entry is a deliberate tiny-broadcast-side design, documented in the query
+# or operator docstring. Anything NOT listed here must stay BNLJ-free.
+BNLJ_BY_DESIGN = {
+    "ann_cosine_topk",       # corpus × broadcast(5 query vectors)
+    "ann_ivf_topk",          # query probe against broadcast centroid set
+    "ann_ivf_trained_topk",  # same, trained centroids
+    "ann_ivf_recall",        # recall harness embeds the brute-force side
+    "frequent_tokens_cms_check",  # contract row × broadcast exact-count row
+    "dim_shift_sync",        # DimShift seed IS distinct-agents × calendar-days
+    "events_in_shift",       # builds the same DimShift seed inline
+    "pace_color",            # same DimShift seed feeds shift-elapsed pace
+    "run_counters",          # processed/inserted single-row counters crossed
+    "tpch_q22_idle_customers",  # scalar avg-acctbal subquery × customer rows
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_global_plan_invariants(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unkeyed cartesian join"
+    if name not in BNLJ_BY_DESIGN:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin outside the by-design "
+            "allowlist — either key the join or document and allowlist it"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF — use Arrow (pandas_udf / "
+        "mapInPandas) or a JVM expression"
+    )
