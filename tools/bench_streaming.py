@@ -18,9 +18,12 @@ Per rung:
    drain runs ceil(n_files/64) batches, so n_files > 64 also measures
    cross-batch dedup-state carry).
 
-Results merge into SCALE_LADDER.json under "streaming_ingest".
+Results merge into SCALE_LADDER.json under "streaming_ingest"; with
+``--rocksdb`` the dedup state runs on the RocksDBStateStoreProvider
+(the production backend SCALE.md prescribes for TTL-horizon key volumes)
+and results land under "streaming_ingest_rocksdb" instead.
 
-Usage: python tools/bench_streaming.py [ladder_root] [rung ...]
+Usage: python tools/bench_streaming.py [--rocksdb] [ladder_root] [rung ...]
 """
 
 from __future__ import annotations
@@ -105,10 +108,19 @@ def write_landing(spark, sf_dir: str, landing: str, n_files: int) -> int:
 
 def main() -> None:
     argv = sys.argv[1:]
+    rocksdb = "--rocksdb" in argv
+    if rocksdb:
+        argv.remove("--rocksdb")
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     wanted = argv[1:] or list(RUNGS)
     spark = get_spark(app_name="bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    if rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     out: dict[str, dict[str, float | int]] = {}
     for rung in wanted:
@@ -153,8 +165,9 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
     path = "/root/repo/SCALE_LADDER.json"
+    section = "streaming_ingest_rocksdb" if rocksdb else "streaming_ingest"
     data = json.load(open(path)) if os.path.exists(path) else {}
-    data.setdefault("streaming_ingest", {}).update(out)
+    data.setdefault(section, {}).update(out)
     json.dump(data, open(path, "w"), indent=1)
     print(json.dumps(out, indent=1))
     spark.stop()
