@@ -110,3 +110,49 @@ def test_driver_window_invariants():
     oracles = mod.oracle_sql()
     missing = [n for n in window if n not in oracles]
     assert not missing, f"in-window entries without an oracle: {missing}"
+
+
+def test_driver_window_covers_freshness_contract():
+    """The two-round freshness treadmill, mechanized: every registered query
+    that is NOT in the current 50-slot driver window must carry a green
+    verdict in one of the two most recent CORRECTNESS_r*.json files —
+    otherwise its verdict will be >2 rounds stale after this round's sweep
+    and the rotation was mis-planned. Fails loudly at round start until the
+    window is rotated for the new round, which is exactly the reminder the
+    next builder needs."""
+    import glob
+    import importlib.util
+    import json
+    import re
+
+    files = sorted(
+        glob.glob("/root/repo/CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if len(files) < 1:
+        return  # round 1: nothing to be stale against
+    recent = files[-2:]
+    green: set[str] = set()
+    for path in recent:
+        for name, rec in json.load(open(path)).items():
+            oracle_green = rec.get("err") is None and rec.get("rows_match", False)
+            # declared no-oracle tier: the driver records err="no_oracle"
+            # with the spark row count — a successful rows-only check.
+            rows_only_green = (
+                rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) >= 0
+            )
+            if oracle_green or rows_only_green:
+                green.add(name)
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod3", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    window = set(list(mod.queries())[:50])
+    registered = set(mod.queries())
+    stale = sorted(registered - window - green)
+    assert not stale, (
+        f"queries neither in the driver window nor green in {recent}: "
+        f"{stale} — rotate them into _DRIVER_PRIORITY"
+    )
