@@ -93,9 +93,10 @@ def test_driver_window_invariants():
     """The driver's correctness sweep adjudicates the FIRST 50 queries()
     entries. Freshness rotation is only sound if the head is well-formed:
     no duplicate priority entries (a dup silently shrinks the window) and
-    every in-window entry is oracle-backed (a rows-only entry would burn a
-    slot on the weaker check unless that is an explicit, documented choice
-    — currently none are)."""
+    every in-window entry is oracle-backed, EXCEPT entries explicitly
+    declared in the entry module's _ROWS_ONLY_WINDOW_OK allowlist (the
+    engine-native approximate ops whose freshness check is rows-only by
+    design, each paired with an oracle-backed accuracy-contract query)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location("entrymod2", "/root/repo/__spark_entry__.py")
@@ -108,7 +109,14 @@ def test_driver_window_invariants():
     window = list(mod.queries())[:50]
     assert window[: len(pri)] == pri, "queries() does not lead with the priority list"
     oracles = mod.oracle_sql()
-    missing = [n for n in window if n not in oracles]
+    allowlist = getattr(mod, "_ROWS_ONLY_WINDOW_OK", set())
+    # the allowlist must not name oracle-backed queries (that would silently
+    # weaken their check) nor anything outside the window (dead entries)
+    misdeclared = [n for n in allowlist if n in oracles]
+    assert not misdeclared, f"_ROWS_ONLY_WINDOW_OK entries that HAVE oracles: {misdeclared}"
+    dead = [n for n in allowlist if n not in window]
+    assert not dead, f"_ROWS_ONLY_WINDOW_OK entries not in the window: {dead}"
+    missing = [n for n in window if n not in oracles and n not in allowlist]
     assert not missing, f"in-window entries without an oracle: {missing}"
 
 
@@ -137,9 +145,11 @@ def test_driver_window_covers_freshness_contract():
         for name, rec in json.load(open(path)).items():
             oracle_green = rec.get("err") is None and rec.get("rows_match", False)
             # declared no-oracle tier: the driver records err="no_oracle"
-            # with the spark row count — a successful rows-only check.
-            rows_only_green = (
-                rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) >= 0
+            # with the spark row count — a successful rows-only check. The
+            # count must be an explicitly recorded int: a missing/None
+            # spark_rows means the rows-only check never actually ran.
+            rows_only_green = rec.get("err") == "no_oracle" and (
+                isinstance(rec.get("spark_rows"), int) and rec["spark_rows"] >= 0
             )
             if oracle_green or rows_only_green:
                 green.add(name)
