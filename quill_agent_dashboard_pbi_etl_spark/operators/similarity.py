@@ -244,7 +244,10 @@ def _block_pairs_fn(threshold: float, id_col: str, vec_col: str):
         ids, mat = ids[order], mat[order]
         norms = np.linalg.norm(mat, axis=1)
         n = len(ids)
-        chunk = max(256, min(4096, (64 << 20) // (8 * n)))
+        # No lower floor beyond 1: a floor of e.g. 256 rows would void the
+        # ≤64 MB bound for groups past 32,768 rows (256·n·8 bytes grows
+        # linearly with group size); at worst chunk=1 is a matvec per row.
+        chunk = max(1, min(4096, (64 << 20) // (8 * n)))
         col_idx = np.arange(n)
         out_a: list = []
         out_b: list = []

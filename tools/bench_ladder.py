@@ -160,14 +160,22 @@ def main() -> None:
                     math.log(t2 / t1) / math.log(s2 / s1), 2
                 )
 
-    out = {"timings_sec": timings, "rows": rows, "scaling_exponents": exponents}
-    if only is not None and os.path.exists("/root/repo/SCALE_LADDER.json"):
+    # Load the existing file and update ONLY this tool's three sections —
+    # bench_ledger_gates.py / bench_streaming.py merge foreign top-level
+    # sections (ledger_gate_crossover, streaming_ingest*) into the same file,
+    # and a wholesale replace here would silently delete them.
+    mine = {"timings_sec": timings, "rows": rows, "scaling_exponents": exponents}
+    out: dict = {}
+    if os.path.exists("/root/repo/SCALE_LADDER.json"):
         with open("/root/repo/SCALE_LADDER.json") as fh:
-            prev = json.load(fh)
-        for section in out:
-            merged = dict(prev.get(section, {}))
-            merged.update(out[section])
+            out = json.load(fh)
+    for section, payload in mine.items():
+        if only is not None:
+            merged = dict(out.get(section, {}))
+            merged.update(payload)
             out[section] = merged
+        else:
+            out[section] = payload
     with open("/root/repo/SCALE_LADDER.json", "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
