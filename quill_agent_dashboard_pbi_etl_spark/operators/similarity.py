@@ -145,12 +145,40 @@ def ivf_topk(
     )
 
 
+#: Auto-sizing target: with bucket_bits = ceil(log2(n / target)) each LSH
+#: table has ~2^bits buckets of ~target rows, keeping the per-bucket dense
+#: verify O(target²) and the whole op ~linear in n. 800 reproduces the
+#: measured sf10 mitigation cell (200k vectors → 8 bits, SCALE_LADDER.json
+#: t50_b8: p = 0.69 vs p ≈ 1.2 at fixed 4 bits).
+DEFAULT_TARGET_BUCKET_ROWS = 800
+
+
+def auto_bucket_bits(
+    n_rows: int,
+    target_bucket_rows: int = DEFAULT_TARGET_BUCKET_ROWS,
+    min_bits: int = 2,
+    max_bits: int = 24,
+) -> int:
+    """Size LSH ``bucket_bits`` from the corpus row count: the documented
+    growth rule ``bucket_bits ≈ log2(n / target_bucket_rows)`` (see
+    :func:`near_dup_by_cosine`), clamped to [min_bits, max_bits]. At fixed
+    bits, per-table bucket size grows as n/2^bits and the dense per-bucket
+    verification turns super-linear — the scale ladder measured p ≈ 1.2 at
+    fixed 4 bits vs p = 0.69 with log-n-grown 8 bits at the 200k-vector
+    rung. Deterministic, pure, and cheap: callers pass a plain count."""
+    import math
+
+    if n_rows <= max(1, target_bucket_rows):
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def near_dup_by_cosine(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_bits: int = 2,
+    bucket_bits: int | None = None,
     n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table random-hyperplane
@@ -176,8 +204,15 @@ def near_dup_by_cosine(
     (SCALE_LADDER.json, sf3→sf10 = 150k→500k docs' worth of vectors):
     4 bits × 12 tables at cosine 0.5 scales at p ≈ 1.2, while 8 bits × 12
     tables restores p = 0.69 and runs 3.9× faster at the top rung with
-    banding recall ≈ 0.999 for genuine near-dups. Rule of thumb:
-    bucket_bits ≈ log2(n / target_bucket_rows).
+    banding recall ≈ 0.999 for genuine near-dups. The rule
+    ``bucket_bits ≈ log2(n / target_bucket_rows)`` is therefore the DEFAULT:
+    ``bucket_bits=None`` computes it via :func:`auto_bucket_bits` from one
+    cheap ``corpus.count()`` (one extra metadata-light action; pass an
+    explicit int to skip it or to pin a shape for measurement). The floor of
+    2 bits reproduces the historical small-corpus default, so driver-scale
+    results are unchanged. When auto-sizing lands at high bits in a low
+    sign-agreement regime (threshold ≲ 0.5 → p ≲ 0.67), grow ``n_tables``
+    with bits to hold recall: detect probability is 1 − (1 − p^bits)^tables.
 
     Honest scaling boundary: the candidate-pruning power is the gap between
     the wanted pairs' bit-agreement p and the background's (~0.5 for nearly
@@ -202,6 +237,8 @@ def near_dup_by_cosine(
     extreme skew, same discipline as MinHash banding).
     """
     v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    if bucket_bits is None:
+        bucket_bits = auto_bucket_bits(v.count())
     bucketed = _lsh_buckets_numpy(v, id_col, bucket_bits, n_tables)
     per_bucket = bucketed.groupBy("tbl", "bucket").applyInPandas(
         _block_pairs_fn(threshold, id_col, "vec"),

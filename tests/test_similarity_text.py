@@ -270,3 +270,40 @@ def test_block_pairs_kernel_chunked_equals_dense():
         pd.DataFrame({"vec_id": [1], "embedding": [np.ones(4)]})
     )
     assert list(empty.columns) == ["vec_a", "vec_b", "cosine_sim"] and empty.empty
+
+
+def test_auto_bucket_bits_sizing():
+    """Pin the LSH bucket-sizing rule bucket_bits = ceil(log2(n/target)):
+    the floor reproduces the historical small-corpus default (driver/bench
+    scales unchanged), the sf10 ladder rung lands on the measured t50_b8
+    mitigation cell, and the value is clamped + monotone in n."""
+    from quill_agent_dashboard_pbi_etl_spark.operators.similarity import (
+        auto_bucket_bits,
+    )
+
+    assert auto_bucket_bits(0) == 2
+    assert auto_bucket_bits(500) == 2          # driver sf0.01 corpus
+    assert auto_bucket_bits(2_000) == 2        # bench sf0.1 corpus
+    assert auto_bucket_bits(200_000) == 8      # sf10 ladder rung → t50_b8
+    assert auto_bucket_bits(200_000_000) == 18
+    assert auto_bucket_bits(10**12) == 24      # clamped at max_bits
+    vals = [auto_bucket_bits(n) for n in (10, 10**3, 10**4, 10**5, 10**6, 10**9)]
+    assert vals == sorted(vals), "auto_bucket_bits must be monotone in n"
+    # manual override knobs still respected
+    assert auto_bucket_bits(200_000, target_bucket_rows=50_000, min_bits=1) == 2
+    assert auto_bucket_bits(10, min_bits=4) == 4
+
+
+def test_near_dup_auto_bits_matches_explicit(spark):
+    """bucket_bits=None (auto) must produce the identical pair set as the
+    explicit historical default at small-corpus scale, proving the auto
+    path is wired through the same kernel."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    auto = similarity.near_dup_by_cosine(emb, threshold=0.35)
+    explicit = similarity.near_dup_by_cosine(emb, threshold=0.35, bucket_bits=2)
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b and len(a) > 0

@@ -66,6 +66,19 @@ def _lsh_t50_b8(spark, sf_dir):
     )
 
 
+def _lsh_t50_auto(spark, sf_dir):
+    """Default-config check for the auto-sized bucket_bits path
+    (bucket_bits=None → auto_bucket_bits(count)): at the sf10 rung (200k
+    vectors) the rule lands on 8 bits, so this cell should match t50_b8
+    within noise — plus one cheap count() action. At sf0.3-sf1 it sizes 3-5
+    bits, interpolating between the fixed cells."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_by_cosine(emb, threshold=0.5, n_tables=12)
+
+
 FAMILY = {
     "dedup_ngram_jaccard": (None, None),
     "dedup_minhash_lsh": (None, None),
@@ -75,6 +88,7 @@ FAMILY = {
     "embedding_near_dup_lsh": (None, "sf1"),
     "embedding_near_dup_lsh_t50": (_lsh_t50, None),
     "embedding_near_dup_lsh_t50_b8": (_lsh_t50_b8, None),
+    "embedding_near_dup_lsh_t50_auto": (_lsh_t50_auto, None),
     "ingest_pipeline_full": (None, None),
     "corpus_pipeline_full": (None, None),
 }
