@@ -845,18 +845,22 @@ def q_approx_distinct_agents_check(spark: SparkSession, sf_dir: str) -> DataFram
     ``err_ok`` asserts the HyperLogLog++ estimate (rsd 0.01) lands within 5%
     relative error of the exact count — so a sketch regression flips the
     boolean and fails the driver's hash check instead of hiding in the
-    rows-only tier. Both aggregates ride one hash-agg pass; the exact
+    rows-only tier. Both aggregates ride one hash-agg pass — each computed
+    ONCE, with the error bound as a post-agg projection, so the expand for
+    the exact distinct carries a single count_distinct expression; the exact
     count_distinct is the harness cost, not the production path
     (approx_distinct_agents is the production query)."""
     fact = normalized_fact(spark, sf_dir)
-    return fact.groupBy("MetricID").agg(
+    agged = fact.groupBy("MetricID").agg(
         F.count_distinct("AgentID").alias("exact_agents"),
+        F.approx_count_distinct("AgentID", 0.01).alias("_approx_agents"),
+    )
+    return agged.select(
+        "MetricID",
+        "exact_agents",
         (
-            F.abs(
-                F.approx_count_distinct("AgentID", 0.01)
-                - F.count_distinct("AgentID")
-            )
-            / F.count_distinct("AgentID")
+            F.abs(F.col("_approx_agents") - F.col("exact_agents"))
+            / F.col("exact_agents")
             <= 0.05
         ).alias("err_ok"),
     )
