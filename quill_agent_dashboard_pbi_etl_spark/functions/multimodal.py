@@ -7,13 +7,15 @@ per-batch, not per-row, and each partition streams through without
 materializing.
 
 Codec support is two-tier. ``decode_asset`` REALLY decodes the formats the
-Python stdlib can parse — PCM WAV (``wave``), uncompressed 24-bit BMP and
-binary PPM (``struct``) — and raises ``NotImplementedError`` for compressed
-formats (JPEG/PNG/MP4 need PIL/pyav, absent in this container); that raise is
-the production-decoder hook. ``fake_decode`` remains the dependency-free
-stand-in for pipelines over arbitrary payloads. The Spark-side plumbing
-(schemas, Arrow batch iteration, partitioning) is identical for both and
-tested end-to-end.
+Python stdlib can parse — PCM WAV (``wave``), uncompressed 24-bit BMP,
+binary PPM (``struct``), and non-interlaced 8-bit RGB/RGBA PNG (``zlib``
+inflate + full None/Sub/Up/Average/Paeth unfiltering) — and raises
+``NotImplementedError`` for formats needing external codecs (JPEG/MP4 need
+PIL/pyav, absent in this container) or PNG features beyond that profile
+(palette, 16-bit, interlace); that raise is the production-decoder hook.
+``fake_decode`` remains the dependency-free stand-in for pipelines over
+arbitrary payloads. The Spark-side plumbing (schemas, Arrow batch iteration,
+partitioning) is identical for both and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from array import array
 from collections.abc import Iterator
 
@@ -119,6 +122,99 @@ def _decode_ppm(payload: bytes) -> tuple[list[float], int]:
     return _mean_rgb(trip, width * height), 1
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> tuple[list[float], int]:
+    """Non-interlaced 8-bit truecolor PNG (color type 2 RGB / 6 RGBA) →
+    ([mean_r, mean_g, mean_b], 1), stdlib-only.
+
+    A real decoder, not a sniffer: chunk CRCs are verified (zlib.crc32),
+    IDAT fragments are concatenated and inflated as one zlib stream, and
+    every scanline filter the spec defines (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) is unfiltered byte-exactly. Alpha is parsed but excluded
+    from the channel means so RGB and RGBA containers of the same pixels
+    featurize identically (matching the BMP/PPM contract). Palette, 16-bit,
+    grayscale, and interlaced PNGs raise ``NotImplementedError`` — the same
+    plug-in hook as JPEG/MP4. Unfiltering is sequential per byte because
+    Sub/Average/Paeth predict from the *decoded* left neighbor; payloads in
+    this pipeline are asset-sized (not gigapixel), and the loop runs
+    executor-side inside mapInPandas."""
+    if payload[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height = struct.unpack_from(">II", data, 0)
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG profile beyond stdlib decoder (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace}); plug PIL into "
+            "decode_asset"
+        )
+    channels = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    sums = [0, 0, 0]
+    prev = bytearray(stride)
+    rpos = 0
+    for _row in range(height):
+        f = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += stride + 1
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        for x in range(0, stride, channels):
+            sums[0] += line[x]
+            sums[1] += line[x + 1]
+            sums[2] += line[x + 2]
+        prev = line
+    count = width * height
+    return ([s / count / 255.0 for s in sums] if count else [0.0] * 3), 1
+
+
 def decode_asset(payload: bytes, modality: str) -> tuple[list[float], int]:
     """Real decoder: magic-sniffs the stdlib-decodable formats and extracts
     (feature_vector, frame_count). Compressed formats raise
@@ -126,6 +222,8 @@ def decode_asset(payload: bytes, modality: str) -> tuple[list[float], int]:
     production image."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:8] == _PNG_SIGNATURE:
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -186,6 +284,72 @@ def make_bmp_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
 def make_ppm_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     """Deterministic binary PPM (P6) payload."""
     return b"P6\n%d %d\n255\n" % (width, height) + _lcg_bytes(seed, width * height * 3)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png_bytes(
+    seed: int, width: int = 8, height: int = 8, rgba: bool = False
+) -> bytes:
+    """Deterministic non-interlaced 8-bit PNG payload holding the SAME
+    logical RGB pixels as ``make_ppm_bytes``/``make_bmp_bytes`` for a given
+    seed (``rgba=True`` adds an opaque alpha channel), so cross-container
+    feature equality pins the whole zlib + unfilter path. Scanline filters
+    cycle 0→4 by row — every filter type the spec defines is exercised on
+    any image ≥5 rows, making the synthesizer a genuine encoder, not a
+    filter-0-only shortcut."""
+    channels = 4 if rgba else 3
+    pix = _lcg_bytes(seed, width * height * 3)
+    rows: list[bytes] = []
+    k = 0
+    for _r in range(height):
+        line = bytearray()
+        for _c in range(width):
+            line += pix[k : k + 3]
+            if rgba:
+                line.append(255)
+            k += 3
+        rows.append(bytes(line))
+    stride = width * channels
+    prev = bytes(stride)
+    filtered = bytearray()
+    for r, line in enumerate(rows):
+        f = r % 5
+        filtered.append(f)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = x - pred
+            filtered.append(v & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def fake_decode(payload: bytes, modality: str) -> tuple[list[float], int]:
@@ -251,8 +415,9 @@ def synthesize_assets_from_documents(docs: DataFrame) -> DataFrame:
 
 def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Build a multimodal asset table whose payloads are REAL codec bytes
-    (WAV / BMP / PPM, seeded by doc_id) so ``extract_features(...,
-    use_real_decoder=True)`` exercises actual decoding. Generation runs in
+    (WAV / BMP / PPM / PNG, seeded by doc_id) so ``extract_features(...,
+    use_real_decoder=True)`` exercises actual decoding — including zlib
+    inflate + scanline unfiltering on the PNG rows. Generation runs in
     mapInPandas — payloads are born on executors, never on the driver."""
     out_schema = "asset_id long, modality string, content binary, mime_type string"
 
@@ -261,11 +426,12 @@ def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
             ("audio", "audio/wav", make_wav_bytes),
             ("image", "image/bmp", make_bmp_bytes),
             ("image", "image/x-portable-pixmap", make_ppm_bytes),
+            ("image", "image/png", make_png_bytes),
         ]
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                modality, mime, maker = makers[int(doc_id) % 3]
+                modality, mime, maker = makers[int(doc_id) % len(makers)]
                 rows.append(
                     {
                         "asset_id": int(doc_id),

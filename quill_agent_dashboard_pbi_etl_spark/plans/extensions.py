@@ -522,12 +522,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_real_decode")  # stdlib codec output — rows-only check
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal REAL-decode pipeline: synthesize genuine WAV/BMP/PPM
+    """Multimodal REAL-decode pipeline: synthesize genuine WAV/BMP/PPM/PNG
     payloads per document (mapInPandas, executor-side) and decode them with
     the stdlib codecs behind decode_asset — PCM RMS features for audio, RGB
-    channel means for images (functions/multimodal.py). The decode math is
+    channel means for images, with the PNG rows paying real zlib inflate +
+    scanline unfiltering (functions/multimodal.py). The decode math is
     not SQL-expressible, so this registers rows-only; exact feature values
-    are locked by tests/test_multimodal.py against a pure-Python reference."""
+    are locked by tests/test_multimodal_codecs.py golden vectors against a
+    pure-Python reference."""
     from ..functions.multimodal import (
         extract_features,
         synthesize_codec_assets_from_documents,

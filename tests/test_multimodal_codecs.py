@@ -1,10 +1,12 @@
 """Real stdlib codec path for multimodal assets: WAV (wave module), BMP and
-PPM (struct) decode inside decode_asset, exercised both directly and through
+PPM (struct), and non-interlaced 8-bit RGB/RGBA PNG (zlib + full scanline
+unfiltering) decode inside decode_asset, exercised both directly and through
 the mapInPandas pipeline (functions/multimodal.py)."""
 
 import io
 import struct
 import wave
+import zlib
 
 import pytest
 
@@ -12,6 +14,7 @@ from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
     decode_asset,
     extract_features,
     make_bmp_bytes,
+    make_png_bytes,
     make_ppm_bytes,
     make_wav_bytes,
     synthesize_codec_assets_from_documents,
@@ -78,27 +81,95 @@ def test_generated_payloads_are_valid():
 
 def test_unknown_codec_raises_hook():
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_asset(b"\x89PNG\r\n\x1a\n....", "image")
+        decode_asset(b"\xff\xd8\xff\xe0....", "image")  # JPEG magic
+
+
+def _png_with_ihdr(bit_depth: int, color_type: int, interlace: int) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", 1, 1, bit_depth, color_type, 0, 0, interlace)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def test_png_unsupported_profiles_raise_hook():
+    # palette / 16-bit / interlaced PNGs are the plug-in hook, not a crash
+    for bit_depth, color_type, interlace in [(8, 3, 0), (16, 2, 0), (8, 2, 1)]:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_asset(_png_with_ihdr(bit_depth, color_type, interlace), "image")
+
+
+def test_png_corrupt_crc_raises():
+    payload = bytearray(make_png_bytes(seed=1))
+    payload[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_asset(bytes(payload), "image")
+
+
+def test_png_matches_ppm_same_pixels():
+    """The PNG container (zlib + filters 0-4 cycling by row) must featurize
+    identically to the PPM holding the same LCG pixels — byte-exact
+    unfiltering is the only way the channel means come out equal. 8 rows →
+    every filter type (None/Sub/Up/Average/Paeth) is exercised."""
+    for seed in (0, 3, 11):
+        ppm, _ = decode_asset(make_ppm_bytes(seed), "image")
+        png, frames = decode_asset(make_png_bytes(seed), "image")
+        assert frames == 1
+        assert png == pytest.approx(ppm, abs=1e-12)
+        # RGBA container of the same pixels: alpha excluded from means
+        rgba, _ = decode_asset(make_png_bytes(seed, rgba=True), "image")
+        assert rgba == pytest.approx(ppm, abs=1e-12)
+    # odd width exercises non-4-aligned strides
+    ppm_odd, _ = decode_asset(make_ppm_bytes(5, width=5, height=7), "image")
+    png_odd, _ = decode_asset(make_png_bytes(5, width=5, height=7), "image")
+    assert png_odd == pytest.approx(ppm_odd, abs=1e-12)
+
+
+def test_png_channel_means_handbuilt():
+    # 2x1 RGB PNG, filter 0: one red pixel, one blue pixel
+    raw = b"\x00" + bytes([255, 0, 0, 0, 0, 255])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    feats, frames = decode_asset(payload, "image")
+    assert frames == 1
+    assert feats == pytest.approx([0.5, 0.0, 0.5])
 
 
 def test_real_decode_pipeline(spark):
     """End-to-end: executor-side synthesis of genuine codec payloads →
     mapInPandas real decode; features must equal local decode_asset output."""
-    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
     assets = synthesize_codec_assets_from_documents(docs)
     assert dict(assets.dtypes)["content"] == "binary"
 
     rows = {r.asset_id: r for r in extract_features(assets, use_real_decoder=True).collect()}
-    assert len(rows) == 9
-    makers = {0: make_wav_bytes, 1: make_bmp_bytes, 2: make_ppm_bytes}
-    for i in range(9):
-        payload = makers[i % 3](i)
+    assert len(rows) == 12
+    makers = {0: make_wav_bytes, 1: make_bmp_bytes, 2: make_ppm_bytes, 3: make_png_bytes}
+    for i in range(12):
+        payload = makers[i % 4](i)
         feats, frames = decode_asset(payload, rows[i].modality)
         assert rows[i].byte_len == len(payload)
         assert rows[i].frames_sampled == frames
         assert rows[i].feat_dim == len(feats)
         assert rows[i].feat_mean == pytest.approx(sum(feats) / len(feats))
-        assert rows[i].modality == ("audio" if i % 3 == 0 else "image")
+        assert rows[i].modality == ("audio" if i % 4 == 0 else "image")
 
 
 # Golden feature vectors per LCG seed, computed once from the stdlib codecs
@@ -138,6 +209,12 @@ def test_codec_golden_features(seed):
     assert wav == pytest.approx(golden["wav"], abs=1e-9)
     bmp, bmp_frames = decode_asset(make_bmp_bytes(seed), "image")
     ppm, ppm_frames = decode_asset(make_ppm_bytes(seed), "image")
-    assert bmp_frames == ppm_frames == 1
+    png, png_frames = decode_asset(make_png_bytes(seed), "image")
+    png_a, _ = decode_asset(make_png_bytes(seed, rgba=True), "image")
+    assert bmp_frames == ppm_frames == png_frames == 1
     assert bmp == pytest.approx(golden["rgb"], abs=1e-9)
     assert ppm == pytest.approx(golden["rgb"], abs=1e-9)
+    # PNG holds the same logical pixels → identical golden channel means,
+    # which pins the zlib inflate + filter 0-4 unfiltering numerically
+    assert png == pytest.approx(golden["rgb"], abs=1e-9)
+    assert png_a == pytest.approx(golden["rgb"], abs=1e-9)
