@@ -299,13 +299,22 @@ def test_ledger_gated_sink_backfill_older_than_ttl_still_dedups(spark, tmp_path)
     assert got == ["ALOWARE:1"]
 
 
-def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path):
+@pytest.mark.parametrize("backend_name", ["posix", "fake_remote"])
+def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(
+    spark, tmp_path, backend_name
+):
     """Crash injection for the claim-then-verify protocol: a prior attempt of
     batch 0 CLAIMED event 1 in the ledger (tagged batch0) and died before
     writing any output. The retry must still emit event 1 — its key is live
     in the ledger, but the tag proves this batch owns it, so it is NOT
     dropped as a duplicate (the data-loss mode of a tagless mark-then-write
-    sink)."""
+    sink).
+
+    Parametrized over BOTH StateStorage backends: the same crash scenario
+    must recover identically when control state (the generation marker)
+    lives behind object-store primitives (FakeRemoteStorage — conditional
+    put only, no link/rename) as on POSIX, proving the full sink run is
+    storage-API-clean, not just marker-read/write-clean."""
     import datetime as _dt
     import json as _json
 
@@ -316,7 +325,12 @@ def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path
         envelopes_to_webhook_shape,
         start_ledger_gated_fact_sink,
     )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.state_store import (
+        FakeRemoteStorage,
+        LocalPosixStorage,
+    )
 
+    storage = LocalPosixStorage() if backend_name == "posix" else FakeRemoteStorage()
     landing = tmp_path / "landing"
     landing.mkdir()
     out = tmp_path / "fact"
@@ -327,12 +341,13 @@ def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path
 
     # The dead attempt's claim: event 1 live in the ledger, tagged with THIS
     # incarnation's batch-0 tag (fix the generation marker up front, exactly
-    # as the crashed attempt would have created it).
+    # as the crashed attempt would have created it — through the same
+    # backend the sink will use).
     from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
         _generation_id,
     )
 
-    tag = f"{_generation_id(str(tmp_path / 'ckpt'))}-b0"
+    tag = f"{_generation_id(str(tmp_path / 'ckpt'), storage)}-b0"
     spark.createDataFrame(
         [("ALOWARE:1", _dt.datetime(2024, 1, 15, 3), now_epoch + 86400, tag)],
         "pk string, seenAt timestamp, expiresAt long, writer_id string",
@@ -345,12 +360,17 @@ def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(spark, tmp_path
     fact = normalize_webhooks(envelopes_to_webhook_shape(stream))
     q = start_ledger_gated_fact_sink(
         fact, ledger, str(out), str(tmp_path / "ckpt"),
-        available_now=True, now_epoch=now_epoch,
+        available_now=True, now_epoch=now_epoch, storage=storage,
     )
     q.awaitTermination(180)
 
     got = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
     assert got == ["ALOWARE:1", "ALOWARE:2"]
+    # The retry's generation id must have come back through the backend —
+    # same incarnation the dead attempt's claim was tagged with.
+    assert tag.startswith(
+        (storage.get_text(f"{tmp_path / 'ckpt'}/__spark_graft_generation") or "").strip()
+    )
 
 
 def test_stateful_session_close_auto(spark, tmp_path):
