@@ -99,6 +99,7 @@ RUNGS = [
     ("sf1", None, 10.0),
     ("sf3", None, 30.0),   # optional rungs; skipped if the dir is absent
     ("sf10", None, 100.0),
+    ("sf30", None, 300.0),
 ]
 
 

@@ -51,6 +51,7 @@ RUNGS = {
     "sf1": None,
     "sf3": None,
     "sf10": None,
+    "sf30": None,
 }
 
 

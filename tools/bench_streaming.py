@@ -58,6 +58,7 @@ RUNGS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": None,  # filled from ladder_root
     "sf10": None,
+    "sf30": None,
 }
 
 

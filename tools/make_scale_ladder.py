@@ -13,23 +13,26 @@ cross-replica pairs are never near-dups:
   original corpus, while cross-replica shingles can never collide. Naive
   copying would instead make every doc an exact dup of its replicas, inflating
   pair counts k²× and measuring the DATA, not the algorithm.
-* embeddings: vectors are rotated by k mod 64 positions and NEGATED for
-  k >= 64 (both transforms are norm- and within-replica-cosine-preserving;
-  cross-replica cosines decorrelate). Without the negation, replica k = 64+r
-  would alias replica r exactly (the rotation wraps at the 64-dim boundary)
-  and every aliased pair would be a spurious exact dup. Negation adds only
-  the anti-correlated tail (~20 pairs/replica-pair at cosine <= -0.5 in this
-  corpus) — an order of magnitude below the ~40/replica-pair random-background
-  tail that dominates cross-replica cosines at ANY salt (see SCALE.md: 100
-  replicas cannot be mutually decorrelated below the background tail in 64
-  dims; P(cos >= 0.5) ~ 3e-5 for iid directions at d=64).
+* embeddings: vectors are rotated by k mod 64 positions, NEGATED for
+  k >= 64, and for k >= 128 additionally multiplied by a per-replica
+  deterministic ±1 diagonal sign pattern (splitmix64 over (k, dim)). All
+  three transforms are orthogonal — norm- and within-replica-cosine-
+  preserving — while cross-replica cosines decorrelate. Without the
+  negation, replica k = 64+r would alias replica r exactly (the rotation
+  wraps at the 64-dim boundary); without the sign pattern, k = 128+r would
+  alias r the same way (rotate×negate yields only 128 distinct transforms).
+  Each extra mechanism adds at most a random-background-sized tail — an
+  order of magnitude below the ~40/replica-pair background tail that
+  dominates cross-replica cosines at ANY salt (see SCALE.md: many replicas
+  cannot be mutually decorrelated below the background tail in 64 dims;
+  P(cos >= 0.5) ~ 3e-5 for iid directions at d=64).
 * events: event ids are offset per replica (new unique webhook identities;
   agents/timestamps unchanged, so per-key densities grow like real traffic
   growth).
 
 Usage: python tools/make_scale_ladder.py [out_root]
-Writes <out_root>/sf0.3 and <out_root>/sf1 (default /root/repo/scale_ladder —
-gitignored; ~200 MB total).
+Writes <out_root>/sf{0.3,1,3,10,30} (default /root/repo/scale_ladder —
+gitignored; ~5.5 GB total with the sf30 rung).
 """
 
 from __future__ import annotations
@@ -41,6 +44,21 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OFFSET = 100_000_000  # > any sf1 id; keeps replica id spaces disjoint
+DIM = 64  # embedding dimensionality of the driver corpus
+
+
+def _replica_signs(k: int) -> list[float]:
+    """Deterministic ±1 diagonal for replica k (splitmix64 over k*DIM+dim) —
+    the third orthogonal salt mechanism, needed once k >= 128 where
+    rotate×negate starts aliasing (see module docstring)."""
+    signs = []
+    for d in range(DIM):
+        z = (k * DIM + d + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        signs.append(1.0 if z & 1 else -1.0)
+    return signs
 
 
 def build_rung(out_dir: str, copies: int) -> None:
@@ -71,14 +89,23 @@ def build_rung(out_dir: str, copies: int) -> None:
                 FROM '{SRC}/documents.parquet'"""
             )
             # rotate the vector by (k mod 64) dims: list_concat of the two
-            # slices; negate for k >= 64 so replicas never alias (see module
-            # docstring). r == 0 with negation (k == 64) still decorrelates.
+            # slices; negate for k >= 64; apply the per-replica ±1 diagonal
+            # for k >= 128 — each mechanism kicks in exactly where the
+            # previous ones start aliasing (see module docstring).
             r = k % 64
             rotated = (
                 f"embedding[{r + 1}:] || embedding[1:{r}]" if r else "embedding"
             )
             if k >= 64:
                 rotated = f"list_transform({rotated}, x -> -x)"
+            if k >= 128:
+                signs = ", ".join(
+                    f"{s:.1f}::FLOAT" for s in _replica_signs(k)
+                )
+                rotated = (
+                    f"list_transform(list_zip({rotated}, [{signs}]), "
+                    "x -> x[1] * x[2])"
+                )
             emb_parts.append(
                 f"""SELECT vec_id + {k * OFFSET} AS vec_id,
                        {rotated} AS embedding,
@@ -101,7 +128,13 @@ def build_rung(out_dir: str, copies: int) -> None:
 
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
-    for sf, copies in (("sf0.3", 3), ("sf1", 10), ("sf3", 30), ("sf10", 100)):
+    for sf, copies in (
+        ("sf0.3", 3),
+        ("sf1", 10),
+        ("sf3", 30),
+        ("sf10", 100),
+        ("sf30", 300),
+    ):
         dest = os.path.join(out_root, sf)
         if os.path.isdir(dest):
             print(f"{sf} exists, skipping")
