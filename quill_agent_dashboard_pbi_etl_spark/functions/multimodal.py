@@ -25,9 +25,9 @@ import io
 import struct
 import wave
 import zlib
-from array import array
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,41 +40,50 @@ ASSET_FEATURES_SCHEMA = (
 
 
 def _decode_wav(payload: bytes) -> tuple[list[float], int]:
-    """PCM WAV → (8-segment normalized RMS vector, PCM frame count)."""
+    """PCM WAV → (8-segment normalized RMS vector, PCM frame count).
+
+    Segment RMS is a numpy reduction (exact int64 sum of squares, one
+    float64 divide+sqrt per segment — same values the per-sample Python
+    loop produced, minus the loop)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         n_frames = w.getnframes()
         width = w.getsampwidth()
         raw = w.readframes(n_frames)
     if width == 2:
-        samples = array("h", raw)
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
         full_scale = 32768.0
     elif width == 1:  # 8-bit WAV is unsigned, centered at 128
-        samples = array("b", bytes((b - 128) & 0xFF for b in raw))
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
         full_scale = 128.0
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM not supported")
-    if not samples:
+    if samples.size == 0:
         return [0.0] * 8, 0
-    seg = max(1, len(samples) // 8)
+    seg = max(1, samples.size // 8)
+    sq = samples * samples
     feats = []
     for i in range(8):
-        chunk = samples[i * seg : (i + 1) * seg] or samples[-seg:]
-        rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
+        chunk = sq[i * seg : (i + 1) * seg]
+        if chunk.size == 0:
+            chunk = sq[-seg:]
+        rms = float(int(chunk.sum()) / chunk.size) ** 0.5
         feats.append(rms / full_scale)
     return feats, n_frames
 
 
-def _mean_rgb(pixels_rgb: Iterator[tuple[int, int, int]], count: int) -> list[float]:
-    sums = [0, 0, 0]
-    for r, g, b in pixels_rgb:
-        sums[0] += r
-        sums[1] += g
-        sums[2] += b
-    return [s / count / 255.0 for s in sums] if count else [0.0, 0.0, 0.0]
+def _mean_rgb_mat(pixels: "np.ndarray", count: int) -> list[float]:
+    """(n, 3) uint8 RGB matrix → normalized per-channel means. Sums are
+    exact int64 (a 2^53-safe superset of the old per-byte int accumulation)."""
+    if not count:
+        return [0.0, 0.0, 0.0]
+    sums = pixels.sum(axis=0, dtype=np.int64)
+    return [int(s) / count / 255.0 for s in sums]
 
 
 def _decode_bmp(payload: bytes) -> tuple[list[float], int]:
-    """Uncompressed 24-bit BI_RGB BMP → ([mean_r, mean_g, mean_b], 1)."""
+    """Uncompressed 24-bit BI_RGB BMP → ([mean_r, mean_g, mean_b], 1).
+    The padded raster is sliced as a (rows, stride) numpy view; the BGR→RGB
+    flip is a column reorder, not a per-pixel loop."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -84,16 +93,13 @@ def _decode_bmp(payload: bytes) -> tuple[list[float], int]:
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     row_stride = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
-
-    def pixels():
-        for row in range(abs(height)):
-            base = data_offset + row * row_stride
-            for col in range(width):
-                off = base + col * 3
-                b, g, r = payload[off], payload[off + 1], payload[off + 2]
-                yield r, g, b
-
-    return _mean_rgb(pixels(), width * abs(height)), 1
+    n_rows = abs(height)
+    raster = payload[data_offset : data_offset + row_stride * n_rows]
+    if len(raster) < row_stride * n_rows:
+        raise ValueError("truncated BMP raster")
+    mat = np.frombuffer(raster, dtype=np.uint8).reshape(n_rows, row_stride)
+    bgr = mat[:, : width * 3].reshape(-1, 3)
+    return _mean_rgb_mat(bgr[:, ::-1], width * n_rows), 1
 
 
 def _decode_ppm(payload: bytes) -> tuple[list[float], int]:
@@ -118,28 +124,239 @@ def _decode_ppm(payload: bytes) -> tuple[list[float], int]:
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval={maxval}")
     raster = payload[pos + 1 : pos + 1 + width * height * 3]
-    trip = struct.iter_unpack("BBB", raster)
-    return _mean_rgb(trip, width * height), 1
+    if len(raster) < width * height * 3:
+        raise ValueError("truncated PPM raster")
+    mat = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+    return _mean_rgb_mat(mat, width * height), 1
 
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
+# Optional native unfilter kernel. Average/Paeth rows are sequential BY SPEC
+# (the predictor reads the decoded left pixel), so no vectorization exists for
+# them; a ~40-line C loop is the production answer — ctypes is stdlib, the
+# kernel compiles once per host (atomically cached in the temp dir, keyed by
+# source hash) with `cc`, and every failure mode (no compiler, sandboxed tmp,
+# load error) falls back silently to the numpy/Python lanes below, which are
+# differential-tested byte-equal. On a real cluster the .so ships prebuilt in
+# the wheel; this lazy path is the single-box/dev convenience.
+_UNFILTER_C_SRC = r"""
+#include <stdint.h>
+#include <stdlib.h>
+
+int png_unfilter(const uint8_t* raw, int64_t height, int64_t stride,
+                 int64_t channels, uint8_t* out) {
+    const uint8_t* prev = 0;
+    for (int64_t r = 0; r < height; r++) {
+        uint8_t f = raw[r * (stride + 1)];
+        const uint8_t* src = raw + r * (stride + 1) + 1;
+        uint8_t* line = out + r * stride;
+        int64_t i;
+        switch (f) {
+        case 0:
+            for (i = 0; i < stride; i++) line[i] = src[i];
+            break;
+        case 1:
+            for (i = 0; i < channels && i < stride; i++) line[i] = src[i];
+            for (i = channels; i < stride; i++)
+                line[i] = (uint8_t)(src[i] + line[i - channels]);
+            break;
+        case 2:
+            for (i = 0; i < stride; i++)
+                line[i] = (uint8_t)(src[i] + (prev ? prev[i] : 0));
+            break;
+        case 3:
+            for (i = 0; i < stride; i++) {
+                int a = i >= channels ? line[i - channels] : 0;
+                int b = prev ? prev[i] : 0;
+                line[i] = (uint8_t)(src[i] + ((a + b) >> 1));
+            }
+            break;
+        case 4:
+            for (i = 0; i < stride; i++) {
+                int a = i >= channels ? line[i - channels] : 0;
+                int b = prev ? prev[i] : 0;
+                int c = (prev && i >= channels) ? prev[i - channels] : 0;
+                int p = a + b - c;
+                int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+                int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                line[i] = (uint8_t)(src[i] + pred);
+            }
+            break;
+        default:
+            return (int)f; /* invalid filter type */
+        }
+        prev = line;
+    }
+    return -1; /* ok */
+}
+"""
+
+_C_UNFILTER_CACHE: list = []  # [fn] once resolved; [None] if unavailable
+
+
+def _c_unfilter_kernel():
+    """Load (compiling if needed) the native unfilter; None when unavailable.
+    Resolution happens once per process; the compiled artifact is shared
+    per-host via an atomic rename, so 32 concurrent Python workers race
+    safely."""
+    if _C_UNFILTER_CACHE:
+        return _C_UNFILTER_CACHE[0]
+    fn = None
+    try:
+        import ctypes
+        import os
+        import subprocess
+        import tempfile
+
+        tag = hashlib.sha256(_UNFILTER_C_SRC.encode()).hexdigest()[:16]
+        so_path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_png_unfilter_{tag}.so"
+        )
+        if not os.path.exists(so_path):
+            with tempfile.TemporaryDirectory() as tmp:
+                c_path = os.path.join(tmp, "png_unfilter.c")
+                with open(c_path, "w") as fh:
+                    fh.write(_UNFILTER_C_SRC)
+                tmp_so = os.path.join(tmp, "png_unfilter.so")
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                    check=True,
+                    capture_output=True,
+                    timeout=60,
+                )
+                os.replace(tmp_so, so_path)  # atomic: last writer wins
+        lib = ctypes.CDLL(so_path)
+        lib.png_unfilter.restype = ctypes.c_int
+        lib.png_unfilter.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        fn = lib.png_unfilter
+    except Exception:
+        fn = None
+    _C_UNFILTER_CACHE.append(fn)
+    return fn
+
+
+def _unfilter_average_row(line: "np.ndarray", prev: "np.ndarray", channels: int) -> None:
+    """Average (filter 3) for one scanline, in place. The predictor reads the
+    *decoded* left pixel, so the recurrence is sequential by spec; the loop
+    runs over plain Python ints (lists) — ~3× faster than numpy scalar
+    indexing — and only this row type and Paeth still loop at all."""
+    cur = line.tolist()
+    up = prev.tolist()
+    for i in range(channels):
+        cur[i] = (cur[i] + (up[i] >> 1)) & 0xFF
+    for i in range(channels, len(cur)):
+        cur[i] = (cur[i] + ((cur[i - channels] + up[i]) >> 1)) & 0xFF
+    line[:] = cur
+
+
+def _unfilter_paeth_row(line: "np.ndarray", prev: "np.ndarray", channels: int) -> None:
+    """Paeth (filter 4) for one scanline, in place. Same sequential-by-spec
+    structure as Average. ``pa = |p−a| = |b−c|`` does not depend on the
+    decoded left pixel, so it is precomputed vectorized; the loop carries
+    only the genuinely sequential terms."""
+    cur = line.tolist()
+    up = prev.tolist()
+    stride = len(cur)
+    # pa = |b - c| and (b - 2c) are left-independent → one vectorized pass
+    bi = prev.astype(np.int16)
+    ci = np.zeros(stride, dtype=np.int16)
+    ci[channels:] = bi[:-channels]
+    pa_pre = np.abs(bi - ci).tolist()
+    bm2c = (bi - 2 * ci).tolist()
+    c_pre = ci.tolist()
+    for i in range(channels):
+        cur[i] = (cur[i] + up[i]) & 0xFF  # a = c = 0 → predictor is b
+    for i in range(channels, stride):
+        a = cur[i - channels]
+        c = c_pre[i]
+        pb = a - c
+        if pb < 0:
+            pb = -pb
+        pc = a + bm2c[i]
+        if pc < 0:
+            pc = -pc
+        pa = pa_pre[i]
+        if pa <= pb and pa <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = up[i]
+        else:
+            pred = c
+        cur[i] = (cur[i] + pred) & 0xFF
+    line[:] = cur
+
+
+def _unfilter_scanlines(
+    raw: bytes, height: int, stride: int, channels: int, use_native: bool = True
+) -> "np.ndarray":
+    """Decode the inflated PNG byte stream (filter byte + scanline per row)
+    into a (height, stride) uint8 matrix. Three lanes, all byte-identical
+    (differential tests vs tools/png_scalar_reference.py):
+
+    1. Native C kernel via ctypes when a host compiler is available — one
+       call per image, C-speed for every filter type (the production lane).
+    2. Numpy otherwise: None is a memcpy, Up is one wrapping uint8 add, Sub
+       is a per-channel prefix sum mod 256 (the decoded row IS the running
+       sum of the raw deltas); Average/Paeth — whose predictor reads the
+       *decoded* left pixel, sequential by spec — fall to the tightened
+       per-pixel row kernels.
+    """
+    if use_native:
+        kernel = _c_unfilter_kernel()
+        if kernel is not None:
+            out = np.empty((height, stride), dtype=np.uint8)
+            rc = kernel(raw, height, stride, channels, out.ctypes.data)
+            if rc >= 0:
+                raise ValueError(f"invalid PNG filter type {rc}")
+            return out
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    bad = filters[(filters > 4)]
+    if bad.size:
+        raise ValueError(f"invalid PNG filter type {int(bad[0])}")
+    out = np.ascontiguousarray(arr[:, 1:])
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        f = int(filters[r])
+        line = out[r]
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub → per-channel cumulative sum mod 256
+            csum = np.cumsum(line.reshape(-1, channels), axis=0, dtype=np.uint32)
+            line[:] = (csum & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up → wrapping uint8 add
+            np.add(line, prev, out=line)
+        elif f == 3:
+            _unfilter_average_row(line, prev, channels)
+        else:  # f == 4
+            _unfilter_paeth_row(line, prev, channels)
+        prev = line
+    return out
+
+
 def _decode_png(payload: bytes) -> tuple[list[float], int]:
     """Non-interlaced 8-bit truecolor PNG (color type 2 RGB / 6 RGBA) →
-    ([mean_r, mean_g, mean_b], 1), stdlib-only.
+    ([mean_r, mean_g, mean_b], 1), stdlib + numpy only.
 
     A real decoder, not a sniffer: chunk CRCs are verified (zlib.crc32),
     IDAT fragments are concatenated and inflated as one zlib stream, and
     every scanline filter the spec defines (None/Sub/Up/Average/Paeth,
-    RFC 2083 §6) is unfiltered byte-exactly. Alpha is parsed but excluded
-    from the channel means so RGB and RGBA containers of the same pixels
-    featurize identically (matching the BMP/PPM contract). Palette, 16-bit,
-    grayscale, and interlaced PNGs raise ``NotImplementedError`` — the same
-    plug-in hook as JPEG/MP4. Unfiltering is sequential per byte because
-    Sub/Average/Paeth predict from the *decoded* left neighbor; payloads in
-    this pipeline are asset-sized (not gigapixel), and the loop runs
-    executor-side inside mapInPandas."""
+    RFC 2083 §6) is unfiltered byte-exactly — vectorized per row where the
+    spec's data dependencies allow (see :func:`_unfilter_scanlines`).
+    Alpha is parsed but excluded from the channel means so RGB and RGBA
+    containers of the same pixels featurize identically (matching the
+    BMP/PPM contract). Palette, 16-bit, grayscale, and interlaced PNGs
+    raise ``NotImplementedError`` — the same plug-in hook as JPEG/MP4.
+    Malformed payloads (truncated chunks/CRCs, corrupt deflate streams)
+    raise ``ValueError``, the same contract as the other codecs."""
     if payload[:8] != _PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -148,10 +365,12 @@ def _decode_png(payload: bytes) -> tuple[list[float], int]:
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        # bound covers data AND the trailing CRC word: a chunk whose data
+        # fits but whose CRC is cut off is truncated, not a struct.error
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
@@ -172,47 +391,18 @@ def _decode_png(payload: bytes) -> tuple[list[float], int]:
             "decode_asset"
         )
     channels = 3 if color_type == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data size mismatch")
-    sums = [0, 0, 0]
-    prev = bytearray(stride)
-    rpos = 0
-    for _row in range(height):
-        f = raw[rpos]
-        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
-        rpos += stride + 1
-        if f == 0:  # None
-            pass
-        elif f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-        for x in range(0, stride, channels):
-            sums[0] += line[x]
-            sums[1] += line[x + 1]
-            sums[2] += line[x + 2]
-        prev = line
     count = width * height
-    return ([s / count / 255.0 for s in sums] if count else [0.0] * 3), 1
+    if not count:
+        return [0.0] * 3, 1
+    decoded = _unfilter_scanlines(raw, height, stride, channels)
+    return _mean_rgb_mat(decoded.reshape(-1, channels)[:, :3], count), 1
 
 
 def decode_asset(payload: bytes, modality: str) -> tuple[list[float], int]:
@@ -235,13 +425,20 @@ def decode_asset(payload: bytes, modality: str) -> tuple[list[float], int]:
 
 
 def _lcg_bytes(seed: int, n: int) -> bytes:
-    """Deterministic pseudo-random bytes (LCG) — engine-portable test data."""
-    x = (seed * 2654435761 + 1) & 0xFFFFFFFF
-    out = bytearray(n)
-    for i in range(n):
-        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
-        out[i] = (x >> 16) & 0xFF
-    return bytes(out)
+    """Deterministic pseudo-random bytes (LCG) — engine-portable test data.
+
+    Vectorized via the LCG closed form x_k = A^k·x₀ + C·(A^{k-1}+…+1):
+    powers and geometric partial sums are uint64 prefix scans whose natural
+    mod-2⁶⁴ wraparound is exact for the mod-2³² recurrence (2³² | 2⁶⁴), so
+    the stream is bit-identical to the sequential loop (differential-tested
+    against tools/png_scalar_reference.py) at numpy speed."""
+    if n <= 0:
+        return b""
+    x0 = np.uint64((seed * 2654435761 + 1) & 0xFFFFFFFF)
+    pow_a = np.multiply.accumulate(np.full(n, 1664525, dtype=np.uint64))
+    geo = np.cumsum(np.concatenate(([np.uint64(1)], pow_a[:-1])), dtype=np.uint64)
+    xk = (pow_a * x0 + np.uint64(1013904223) * geo) & np.uint64(0xFFFFFFFF)
+    return ((xk >> np.uint64(16)) & np.uint64(0xFF)).astype(np.uint8).tobytes()
 
 
 def make_wav_bytes(seed: int, n_frames: int = 256, framerate: int = 8000) -> bytes:
@@ -262,17 +459,14 @@ def make_bmp_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     raster_size = row_stride * height
     # Interpret the LCG stream as RGB triples (same as make_ppm_bytes) and
     # write them in BMP's BGR raster order, so the two containers hold the
-    # same logical pixels for a given seed.
-    pix = _lcg_bytes(seed, width * height * 3)
-    raster = bytearray(raster_size)
-    k = 0
-    for row in range(height):
-        base = row * row_stride
-        for col in range(width):
-            r, g, b = pix[k], pix[k + 1], pix[k + 2]
-            off = base + col * 3
-            raster[off], raster[off + 1], raster[off + 2] = b, g, r
-            k += 3
+    # same logical pixels for a given seed. RGB→BGR is a column reorder into
+    # the stride-padded raster view — no per-pixel loop.
+    pix = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)
+    raster_mat = np.zeros((height, row_stride), dtype=np.uint8)
+    raster_mat[:, : width * 3] = (
+        pix.reshape(height, width, 3)[:, :, ::-1].reshape(height, width * 3)
+    )
+    raster = raster_mat.tobytes()
     header = struct.pack(
         "<2sIHHI" "IiiHHIIiiII",
         b"BM", 54 + raster_size, 0, 0, 54,  # file header: size, reserved, data offset
@@ -306,48 +500,51 @@ def make_png_bytes(
     any image ≥5 rows, making the synthesizer a genuine encoder, not a
     filter-0-only shortcut."""
     channels = 4 if rgba else 3
-    pix = _lcg_bytes(seed, width * height * 3)
-    rows: list[bytes] = []
-    k = 0
-    for _r in range(height):
-        line = bytearray()
-        for _c in range(width):
-            line += pix[k : k + 3]
-            if rgba:
-                line.append(255)
-            k += 3
-        rows.append(bytes(line))
     stride = width * channels
-    prev = bytes(stride)
-    filtered = bytearray()
-    for r, line in enumerate(rows):
-        f = r % 5
-        filtered.append(f)
-        for i in range(stride):
-            x = line[i]
-            a = line[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            if f == 0:
-                v = x
-            elif f == 1:
-                v = x - a
-            elif f == 2:
-                v = x - b
-            elif f == 3:
-                v = x - ((a + b) >> 1)
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                v = x - pred
-            filtered.append(v & 0xFF)
-        prev = line
+    rgb = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)
+    img = rgb.reshape(height, width, 3)
+    if rgba:
+        img = np.concatenate(
+            [img, np.full((height, width, 1), 255, dtype=np.uint8)], axis=2
+        )
+    lines = np.ascontiguousarray(img.reshape(height, stride))
+    # ENCODING has no sequential dependency — every predictor input (left,
+    # up, up-left) is an original pixel, known up front — so all five filter
+    # transforms vectorize over the whole image; each row then selects its
+    # cycling r%5 variant. Byte-identical to the per-byte reference encoder
+    # (differential test vs tools/png_scalar_reference.py).
+    up = np.zeros_like(lines)
+    up[1:] = lines[:-1]
+    left = np.zeros_like(lines)
+    left[:, channels:] = lines[:, :-channels]
+    upleft = np.zeros_like(lines)
+    upleft[:, channels:] = up[:, :-channels]
+    ai = left.astype(np.int16)
+    bi = up.astype(np.int16)
+    ci = upleft.astype(np.int16)
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    paeth_pred = np.where(
+        (pa <= pb) & (pa <= pc), ai, np.where(pb <= pc, bi, ci)
+    ).astype(np.uint8)
+    variants = np.stack(
+        [
+            lines,
+            lines - left,  # Sub (uint8 wrap)
+            lines - up,  # Up
+            lines - ((ai + bi) >> 1).astype(np.uint8),  # Average
+            lines - paeth_pred,  # Paeth
+        ]
+    )
+    row_idx = np.arange(height)
+    filtered = np.zeros((height, stride + 1), dtype=np.uint8)
+    filtered[:, 0] = row_idx % 5
+    filtered[:, 1:] = variants[row_idx % 5, row_idx]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
     return (
         _PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IDAT", zlib.compress(filtered.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 

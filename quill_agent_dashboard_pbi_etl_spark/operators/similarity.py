@@ -173,13 +173,74 @@ def auto_bucket_bits(
     return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def sign_agreement_prob(threshold: float) -> float:
+    """Cosine similarity → probability two vectors at that angle agree on one
+    sign-random-projection bit: p = 1 − θ/π (Goemans–Williamson)."""
+    import math
+
+    return 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+
+
+def auto_lsh_shape(
+    bucket_bits: int,
+    threshold: float,
+    base_bits: int = 2,
+    base_tables: int = 8,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Jointly size (bucket_bits, n_tables) so the auto-scaled shape holds
+    the RECALL the floor config (``base_bits`` × ``base_tables``) delivers at
+    the caller's threshold.
+
+    AND-amplification (more bits) cuts candidates but lowers per-table detect
+    probability p^bits; without compensating OR-amplification (more tables),
+    auto-grown bits silently push borderline-pair recall below the floor
+    config's — exactly the failure the round-7 advice flagged for
+    low-threshold callers at scales where the O(n²) recall harness cannot
+    run. Given detect probability 1 − (1 − p^bits)^tables, this solves for
+    the table count that reproduces the floor config's miss rate
+    ((1 − p^base_bits)^base_tables), and when that count would exceed
+    ``max_tables``, BACKS OFF bits instead of undershooting recall — the
+    floor shape is always feasible, so recall is never silently traded. At
+    ``bucket_bits == base_bits`` the result is exactly the historical
+    (base_bits, base_tables): small-corpus outputs are byte-identical.
+
+    The degenerate regime is priced, not hidden: at low thresholds
+    (p ≲ 0.67) holding recall costs bits — e.g. threshold 0.35 at 10 auto
+    bits resolves to ~(5, 42), whose verify volume n²·tables/2^bits is
+    actually BELOW the floor config's — while at high thresholds bits keep
+    their full candidate-cut power with a modest table growth."""
+    import math
+
+    if bucket_bits <= base_bits:
+        return bucket_bits, base_tables
+    p = sign_agreement_prob(threshold)
+    base_miss = 1.0 - p**base_bits
+    if base_miss <= 0.0:  # p == 1: any single table catches the pair
+        return bucket_bits, base_tables
+    log_target_miss = base_tables * math.log(base_miss)
+
+    def tables_for(bits: int) -> int:
+        miss1 = 1.0 - p**bits
+        if miss1 <= 0.0:
+            return base_tables
+        # 1e-9 guard: at bits == base_bits this is exactly base_tables and
+        # float noise must not ceil it to base_tables + 1
+        return math.ceil(log_target_miss / math.log(miss1) - 1e-9)
+
+    bits = bucket_bits
+    while bits > base_bits and tables_for(bits) > max_tables:
+        bits -= 1
+    return bits, min(max_tables, max(base_tables, tables_for(bits)))
+
+
 def near_dup_by_cosine(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_bits: int | None = None,
-    n_tables: int = 8,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table random-hyperplane
     LSH (Charikar, STOC'02 sign-random-projection sketches).
@@ -210,9 +271,13 @@ def near_dup_by_cosine(
     cheap ``corpus.count()`` (one extra metadata-light action; pass an
     explicit int to skip it or to pin a shape for measurement). The floor of
     2 bits reproduces the historical small-corpus default, so driver-scale
-    results are unchanged. When auto-sizing lands at high bits in a low
-    sign-agreement regime (threshold ≲ 0.5 → p ≲ 0.67), grow ``n_tables``
-    with bits to hold recall: detect probability is 1 − (1 − p^bits)^tables.
+    results are unchanged. When BOTH knobs are auto (``n_tables=None``),
+    auto-sized bits also auto-grow the table count via
+    :func:`auto_lsh_shape`, holding the floor config's recall at the
+    caller's threshold instead of silently trading it for the candidate cut
+    (detect probability is 1 − (1 − p^bits)^tables); an explicit
+    ``n_tables`` pins the historical behavior (8 when only bits are
+    explicit).
 
     Honest scaling boundary: the candidate-pruning power is the gap between
     the wanted pairs' bit-agreement p and the background's (~0.5 for nearly
@@ -239,6 +304,13 @@ def near_dup_by_cosine(
     v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
     if bucket_bits is None:
         bucket_bits = auto_bucket_bits(v.count())
+        if n_tables is None:
+            # auto bits must auto-grow tables (and back bits off when tables
+            # would explode) to hold the floor config's recall — see
+            # auto_lsh_shape
+            bucket_bits, n_tables = auto_lsh_shape(bucket_bits, threshold)
+    if n_tables is None:
+        n_tables = 8
     bucketed = _lsh_buckets_numpy(v, id_col, bucket_bits, n_tables)
     per_bucket = bucketed.groupBy("tbl", "bucket").applyInPandas(
         _block_pairs_fn(threshold, id_col, "vec"),

@@ -103,10 +103,48 @@ def test_png_unsupported_profiles_raise_hook():
 
 
 def test_png_corrupt_crc_raises():
+    # payload[-1] is the final byte of IEND's CRC field itself (the chunk
+    # layout ends ...IEND + 4 CRC bytes), so this corrupts the stored CRC,
+    # not the covered type/data bytes
     payload = bytearray(make_png_bytes(seed=1))
-    payload[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    payload[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_asset(bytes(payload), "image")
+    # and corrupting covered data (an IDAT byte) must fire the same check
+    payload2 = bytearray(make_png_bytes(seed=1))
+    idat_at = bytes(payload2).index(b"IDAT")
+    payload2[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_asset(bytes(payload2), "image")
+
+
+def test_png_malformed_inputs_raise_valueerror_contract():
+    """Truncation and stream corruption must surface as ValueError (the
+    codec contract), never struct.error / zlib.error (round-7 advice)."""
+    payload = make_png_bytes(seed=2)
+    # cut two bytes out of the IDAT chunk's trailing CRC word: the chunk's
+    # DATA still fits, so only the new explicit bound catches it (the old
+    # code hit struct.unpack_from -> struct.error here)
+    idat_crc_cut = payload.index(b"IEND") - 4 - 2
+    with pytest.raises(ValueError, match="truncated"):
+        decode_asset(payload[:idat_crc_cut], "image")
+    # corrupt the deflate stream but keep the chunk CRC consistent: rebuild
+    # the IDAT chunk around a mangled zlib header (raises zlib.error inside,
+    # which must surface as ValueError)
+    import quill_agent_dashboard_pbi_etl_spark.functions.multimodal as mm
+
+    pos = 8
+    parts = [payload[:8]]
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IDAT":
+            data = bytes([data[0] ^ 0xFF]) + data[1:]
+        parts.append(mm._png_chunk(ctype, data))
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_asset(b"".join(parts), "image")
 
 
 def test_png_matches_ppm_same_pixels():
@@ -218,3 +256,94 @@ def test_codec_golden_features(seed):
     # which pins the zlib inflate + filter 0-4 unfiltering numerically
     assert png == pytest.approx(golden["rgb"], abs=1e-9)
     assert png_a == pytest.approx(golden["rgb"], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 vectorization: the production lanes (native C kernel, numpy
+# fallback, vectorized encoder/LCG) must be BYTE-IDENTICAL to the preserved
+# per-byte reference implementations in tools/png_scalar_reference.py.
+# ---------------------------------------------------------------------------
+
+import sys as _sys
+
+_sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+import quill_agent_dashboard_pbi_etl_spark.functions.multimodal as mm  # noqa: E402
+from tools import png_scalar_reference as ref  # noqa: E402
+
+
+def test_lcg_bytes_matches_scalar_reference():
+    for seed in (0, 1, 7, 123, 99999):
+        for n in (0, 1, 5, 192, 1000):
+            assert mm._lcg_bytes(seed, n) == ref.lcg_bytes_scalar(seed, n)
+
+
+def test_png_encoder_byte_identical_to_scalar_reference():
+    """make_png_bytes payloads feed content_sha256 columns in the
+    multimodal_real_decode query — the vectorized encoder must reproduce the
+    scalar encoder's output byte-for-byte, not just pixel-for-pixel."""
+    for seed in (0, 3, 11):
+        for w, h, rgba in ((8, 8, False), (8, 8, True), (5, 7, False), (1, 1, False), (16, 3, True)):
+            pix = ref.lcg_bytes_scalar(seed, w * h * 3)
+            filtered = ref.png_filtered_rows_scalar(pix, w, h, rgba)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if rgba else 2, 0, 0, 0)
+            expected = (
+                ref.PNG_SIGNATURE
+                + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"IDAT", zlib.compress(filtered, 6))
+                + mm._png_chunk(b"IEND", b"")
+            )
+            assert make_png_bytes(seed, w, h, rgba=rgba) == expected
+
+
+def test_unfilter_three_lanes_byte_identical():
+    """Native C kernel, numpy lane, and the per-byte scalar reference must
+    agree on every decoded byte across shapes covering all five filters,
+    RGBA, odd strides, and single-pixel rows."""
+    for seed in (1, 9, 42):
+        for w, h, rgba in ((8, 8, False), (17, 23, True), (1, 40, False), (40, 1, True), (3, 200, False)):
+            payload = make_png_bytes(seed, w, h, rgba=rgba)
+            channels = 4 if rgba else 3
+            # extract the inflated stream via the reference parse path
+            pos, idat = 8, bytearray()
+            while pos + 12 <= len(payload):
+                (length,) = struct.unpack_from(">I", payload, pos)
+                ctype = payload[pos + 4 : pos + 8]
+                if ctype == b"IDAT":
+                    idat += payload[pos + 8 : pos + 8 + length]
+                pos += 12 + length
+            raw = zlib.decompress(bytes(idat))
+            stride = w * channels
+            want = np.frombuffer(
+                ref.unfilter_scanlines_scalar(raw, h, stride, channels), dtype=np.uint8
+            ).reshape(h, stride)
+            got_numpy = mm._unfilter_scanlines(raw, h, stride, channels, use_native=False)
+            assert (got_numpy == want).all()
+            if mm._c_unfilter_kernel() is not None:
+                got_c = mm._unfilter_scanlines(raw, h, stride, channels, use_native=True)
+                assert (got_c == want).all()
+
+
+def test_decode_png_matches_scalar_reference_end_to_end():
+    for seed in (0, 3, 11, 42):
+        for w, h, rgba in ((8, 8, False), (8, 8, True), (5, 7, False), (33, 17, True), (64, 64, False)):
+            payload = make_png_bytes(seed, w, h, rgba=rgba)
+            assert mm._decode_png(payload) == ref.decode_png_scalar(payload)
+
+
+def test_invalid_filter_type_raises_in_all_lanes():
+    # hand-build a 1x2 RGB PNG whose second row uses filter type 9
+    raw = b"\x00" + bytes([10, 20, 30]) + b"\x09" + bytes([1, 2, 3])
+    ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 2, 0, 0, 0)
+    payload = (
+        ref.PNG_SIGNATURE
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        mm._decode_png(payload)
+    with pytest.raises(ValueError, match="filter type"):
+        mm._unfilter_scanlines(raw, 2, 3, 3, use_native=False)

@@ -307,3 +307,49 @@ def test_near_dup_auto_bits_matches_explicit(spark):
     a = sorted(map(tuple, auto.collect()))
     b = sorted(map(tuple, explicit.collect()))
     assert a == b and len(a) > 0
+
+
+def test_auto_lsh_shape_sizing():
+    """Pin the joint (bits, tables) auto-shape (round-7 advice): floor
+    identity, recall-at-threshold ≥ floor config's recall, verify volume
+    tables/2^bits ≤ the floor's 8/4, bits backed off instead of recall
+    undershot when tables would exceed the cap."""
+    from quill_agent_dashboard_pbi_etl_spark.operators.similarity import (
+        auto_lsh_shape,
+        sign_agreement_prob,
+    )
+
+    # floor bits → exactly the historical shape, any threshold
+    for t in (0.0, 0.35, 0.5, 0.8, 0.95, 1.0):
+        assert auto_lsh_shape(2, t) == (2, 8)
+    # recall + volume invariants across the grid
+    for t in (0.35, 0.5, 0.8, 0.95):
+        p = sign_agreement_prob(t)
+        floor_recall = 1 - (1 - p**2) ** 8
+        for bits_in in (3, 5, 8, 10, 16, 24):
+            b, n = auto_lsh_shape(bits_in, t)
+            assert 2 <= b <= bits_in and 8 <= n <= 64
+            assert 1 - (1 - p**b) ** n >= floor_recall - 1e-9
+            assert n / 2**b <= 8 / 4 + 1e-9
+    # low threshold: bits cap well below the input (tables would explode)
+    assert auto_lsh_shape(10, 0.35) == (5, 42)
+    # high threshold: bits keep their candidate-cut power
+    b, n = auto_lsh_shape(10, 0.95)
+    assert b == 10 and n <= 64
+
+
+def test_near_dup_full_auto_matches_floor_at_small_scale(spark):
+    """n_tables=None + bucket_bits=None (the new full-auto default) must be
+    byte-identical to the historical (2 bits, 8 tables) at driver scale —
+    the auto shape only diverges once auto bits exceed the floor."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full_auto = similarity.near_dup_by_cosine(emb, threshold=0.35)
+    pinned = similarity.near_dup_by_cosine(
+        emb, threshold=0.35, bucket_bits=2, n_tables=8
+    )
+    a = sorted(map(tuple, full_auto.collect()))
+    b = sorted(map(tuple, pinned.collect()))
+    assert a == b and len(a) > 0

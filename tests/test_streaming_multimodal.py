@@ -367,10 +367,14 @@ def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(
     got = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
     assert got == ["ALOWARE:1", "ALOWARE:2"]
     # The retry's generation id must have come back through the backend —
-    # same incarnation the dead attempt's claim was tagged with.
-    assert tag.startswith(
-        (storage.get_text(f"{tmp_path / 'ckpt'}/__spark_graft_generation") or "").strip()
-    )
+    # same incarnation the dead attempt's claim was tagged with. The marker
+    # must actually EXIST: startswith("") is vacuously true, so assert the
+    # round-tripped value is non-empty before comparing (round-7 advice).
+    gen = (
+        storage.get_text(f"{tmp_path / 'ckpt'}/__spark_graft_generation") or ""
+    ).strip()
+    assert gen, "generation marker missing from the state backend"
+    assert tag.startswith(gen)
 
 
 def test_stateful_session_close_auto(spark, tmp_path):
