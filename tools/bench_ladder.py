@@ -79,6 +79,26 @@ def _lsh_t50_auto(spark, sf_dir):
     return similarity.near_dup_by_cosine(emb, threshold=0.5, n_tables=12)
 
 
+def _lsh_t50_fullauto(spark, sf_dir):
+    """The round-8 FULL default: both knobs auto (bucket_bits=None,
+    n_tables=None) → auto bits joint-sized with auto-grown tables via
+    auto_lsh_shape, holding the floor config's recall AT THE THRESHOLD
+    (0.5 → borderline-pair recall ≈ 0.99) instead of only catching the
+    high-cosine replicas. Deliberately more expensive than the pinned
+    12-table cells — e.g. the sf10 rung resolves to (6 bits, 52 tables) vs
+    t50_b8's (8, 12): verify volume tables/2^bits 0.81 vs 0.047 (~17×) —
+    because the default refuses to silently trade recall for the candidate
+    cut. Callers whose dup population is high-cosine (this ladder's
+    replicas) pin n_tables explicitly; this cell prices the contract.
+    Capped at sf3: the cost story is fully told by then and the sf10/sf30
+    cells would burn ladder budget re-measuring a priced tradeoff."""
+    from quill_agent_dashboard_pbi_etl_spark.operators import similarity
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_by_cosine(emb, threshold=0.5)
+
+
 FAMILY = {
     "dedup_ngram_jaccard": (None, None),
     "dedup_minhash_lsh": (None, None),
@@ -89,6 +109,7 @@ FAMILY = {
     "embedding_near_dup_lsh_t50": (_lsh_t50, None),
     "embedding_near_dup_lsh_t50_b8": (_lsh_t50_b8, None),
     "embedding_near_dup_lsh_t50_auto": (_lsh_t50_auto, None),
+    "embedding_near_dup_lsh_t50_fullauto": (_lsh_t50_fullauto, "sf3"),
     "ingest_pipeline_full": (None, None),
     "corpus_pipeline_full": (None, None),
 }
