@@ -1,0 +1,523 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) codec — stdlib+numpy.
+
+The multimodal real-decode lane's compressed-image tier beyond PNG: a
+genuine JFIF baseline decoder (marker parse → Huffman entropy decode with
+byte-unstuffing and DC prediction → dequantize → 2-D IDCT → level shift →
+YCbCr→RGB) plus the matching encoder used by the deterministic asset
+synthesizer. Profile supported: 8-bit, single-scan sequential baseline,
+4:4:4 (no chroma subsampling), standard component layout (1 or 3
+components). Progressive scans, restart markers, subsampled chroma,
+arithmetic coding, and 12-bit precision raise ``NotImplementedError`` —
+the same PIL plug-in hook as the other codecs. Malformed streams raise
+``ValueError`` (the codec contract).
+
+Quantization/Huffman tables are the T.81 Annex K examples (public spec
+material). JPEG is lossy, so unlike PNG the synthesizer round-trip is
+pinned by golden DECODED feature vectors plus a DCT-domain exactness
+check (the decoder must recover the encoder's quantized coefficients
+bit-for-bit; the lossy step is quantization alone), not by byte equality
+with the source pixels.
+
+Scale shape: like the PNG lane, decode runs executor-side inside
+``mapInPandas`` over binary columns — per-asset numpy work, no shuffle of
+the wide payload column.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- T.81 Annex K example tables (spec Tables K.1, K.2) -------------------
+
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL symbols)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Zigzag order: ZIGZAG[k] = (row, col) of the k-th coefficient in scan order.
+_Z = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> "np.ndarray":
+    """8×8 orthonormal DCT-II matrix: D @ block @ D.T is the 2-D forward
+    DCT with the T.81 normalization (scaled so quantization tables apply
+    directly)."""
+    k = np.arange(8)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    d[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _build_huffman(spec) -> dict[int, tuple[int, int]]:
+    """BITS/HUFFVAL → {symbol: (code, length)} (canonical T.81 assignment)."""
+    counts, symbols = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(spec) -> dict[tuple[int, int], int]:
+    """BITS/HUFFVAL → {(length, code): symbol} for the decoder side."""
+    return {(ln, code): sym for sym, (code, ln) in _build_huffman(spec).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; raises ValueError
+    on markers inside the scan or exhaustion."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside JPEG scan")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t-bit magnitude v to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value → (category t, t-bit code) for Huffman coding."""
+    t = int(abs(v)).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+# --- Encoder ---------------------------------------------------------------
+
+
+def forward_quantized_coefficients(rgb: "np.ndarray") -> list["np.ndarray"]:
+    """Encoder forward path up to (and including) quantization — the lossy
+    step. Returns one (n_blocks, 64) int32 zigzag-ordered coefficient array
+    per component (Y, Cb, Cr). Exposed separately because this is exactly
+    what the decoder's entropy layer must recover bit-for-bit
+    (:func:`decode_quantized_coefficients`); the exactness test closes the
+    encoder↔decoder loop at the only boundary where equality is defined."""
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    ph, pw = -h % 8, -w % 8  # pad to 8×8 grid by edge replication
+    comps = []
+    for plane, qt in ((y, QUANT_LUMA), (cb, QUANT_CHROMA), (cr, QUANT_CHROMA)):
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        q = coef / qt[None]
+        quant = np.sign(q) * np.floor(np.abs(q) + 0.5)  # half away from zero
+        comps.append(quant.astype(np.int32).reshape(-1, 64)[:, _Z])
+    return comps
+
+
+def encode_baseline_jpeg(rgb: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, Annex K tables).
+
+    Forward path is fully vectorized (:func:`forward_quantized_coefficients`:
+    JFIF RGB→YCbCr, all-blocks DCT via one einsum, integer quantization);
+    only the entropy coding walks blocks in Python (bit IO is inherently
+    sequential)."""
+    h, w = rgb.shape[:2]
+    comps = forward_quantized_coefficients(rgb)
+
+    dc_tabs = (_build_huffman(DC_LUMA_SPEC), _build_huffman(DC_CHROMA_SPEC))
+    ac_tabs = (_build_huffman(AC_LUMA_SPEC), _build_huffman(AC_CHROMA_SPEC))
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = comps[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            zz = comps[ci][bi]
+            dc_tab = dc_tabs[0 if ci == 0 else 1]
+            ac_tab = ac_tabs[0 if ci == 0 else 1]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            t, bits = _magnitude(diff)
+            code, ln = dc_tab[t]
+            writer.write(code, ln)
+            if t:
+                writer.write(bits, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    writer.write(code, ln)
+                    run -= 16
+                t, bits = _magnitude(v)
+                code, ln = ac_tab[(run << 4) | t]
+                writer.write(code, ln)
+                writer.write(bits, t)
+                run = 0
+            if run:
+                code, ln = ac_tab[0x00]  # EOB
+                writer.write(code, ln)
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, table: "np.ndarray") -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in table.reshape(-1)[_Z]))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        counts, symbols = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols))
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = seg(
+        0xFFC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, QUANT_LUMA)
+        + dqt(1, QUANT_CHROMA)
+        + sof
+        + dht(0, 0, DC_LUMA_SPEC)
+        + dht(1, 0, AC_LUMA_SPEC)
+        + dht(0, 1, DC_CHROMA_SPEC)
+        + dht(1, 1, AC_CHROMA_SPEC)
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+# --- Decoder ---------------------------------------------------------------
+
+
+def _parse_and_entropy_decode(payload: bytes):
+    """Shared decoder core: marker walk + Huffman entropy decode.
+
+    Returns ``(h, w, comps, qtables, zz)`` where ``comps`` is the SOF
+    component list ``[(component_id, quant_table_id), ...]`` and ``zz`` is
+    the (n_blocks, n_components, 64) int32 quantized-coefficient tensor in
+    zigzag order — the exact data the encoder emitted (entropy coding is
+    lossless; quantization is JPEG's only lossy step)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan_sel = None
+    entropy_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        if length < 2 or pos + 2 + length > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:  # DQT
+            bpos = 0
+            while bpos + 65 <= len(body):
+                pq_tq = body[bpos]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quant tables; plug PIL into decode_asset"
+                    )
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_Z] = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
+                qtables[pq_tq & 0xF] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xFFC4:  # DHT
+            bpos = 0
+            while bpos + 17 <= len(body):
+                cls_tid = body[bpos]
+                counts = list(body[bpos + 1 : bpos + 17])
+                n = sum(counts)
+                symbols = list(body[bpos + 17 : bpos + 17 + n])
+                if len(symbols) < n:
+                    raise ValueError("truncated JPEG Huffman table")
+                htables[(cls_tid >> 4, cls_tid & 0xF)] = _build_decode_table(
+                    (counts, symbols)
+                )
+                bpos += 17 + n
+        elif marker == 0xFFC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    "non-8-bit JPEG precision; plug PIL into decode_asset"
+                )
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (non-4:4:4); plug PIL into decode_asset"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/extended/arithmetic); plug "
+                "PIL into decode_asset"
+            )
+        elif marker == 0xFFDD:  # DRI
+            if len(body) >= 2 and struct.unpack_from(">H", body)[0] != 0:
+                raise NotImplementedError(
+                    "JPEG restart intervals; plug PIL into decode_asset"
+                )
+        elif marker == 0xFFDA:  # SOS
+            ns = body[0]
+            scan_sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
+            entropy_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if frame is None or scan_sel is None or entropy_start is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("empty JPEG frame")
+    end = payload.rfind(b"\xff\xd9")
+    if end < entropy_start:
+        raise ValueError("JPEG missing EOI")
+    reader = _BitReader(payload[entropy_start:end])
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    ncomp = len(comps)
+    zz = np.zeros((bh * bw, ncomp, 64), dtype=np.int32)
+    pred = [0] * ncomp
+    tabs = []
+    for cid, _tq in comps:
+        if cid not in scan_sel:
+            raise ValueError("JPEG scan missing frame component")
+        sel = scan_sel[cid]
+        dc = htables.get((0, sel >> 4))
+        ac = htables.get((1, sel & 0xF))
+        if dc is None or ac is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        tabs.append((dc, ac))
+    for bi in range(bh * bw):
+        for ci in range(ncomp):
+            dc_tab, ac_tab = tabs[ci]
+            t = _huff_decode(reader, dc_tab)
+            if t > 11:
+                raise ValueError("invalid JPEG DC category")
+            pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+            block = zz[bi, ci]
+            block[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0xF
+                if k > 63 or size == 0:
+                    raise ValueError("invalid JPEG AC run/size")
+                block[k] = _extend(reader.read_bits(size), size)
+                k += 1
+    return h, w, comps, qtables, zz
+
+
+def decode_quantized_coefficients(payload: bytes) -> "np.ndarray":
+    """(n_blocks, n_components, 64) quantized DCT coefficients in zigzag
+    order — the encoder↔decoder exactness contract surface: the entropy
+    layer is lossless, so these must be bit-identical to what
+    :func:`encode_baseline_jpeg` quantized. Used by tests."""
+    return _parse_and_entropy_decode(payload)[4]
+
+
+def decode_baseline_jpeg(payload: bytes) -> "np.ndarray":
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (or (h, w, 1) grayscale).
+
+    Entropy decode is the sequential Python part (bit IO); dequantize →
+    IDCT → color convert run as one einsum/array pass over all blocks."""
+    h, w, comps, qtables, zz = _parse_and_entropy_decode(payload)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    ncomp = len(comps)
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("JPEG frame references missing quant table")
+        coef = np.zeros((bh * bw, 64), dtype=np.float64)
+        coef[:, _Z] = zz[:, ci, :]
+        coef = coef.reshape(-1, 8, 8) * qtables[tq][None]
+        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
+        plane = (
+            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[..., None]
+    if ncomp != 3:
+        raise NotImplementedError(
+            f"{ncomp}-component JPEG; plug PIL into decode_asset"
+        )
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -7,12 +7,14 @@ per-batch, not per-row, and each partition streams through without
 materializing.
 
 Codec support is two-tier. ``decode_asset`` REALLY decodes the formats the
-Python stdlib can parse — PCM WAV (``wave``), uncompressed 24-bit BMP,
-binary PPM (``struct``), and non-interlaced 8-bit RGB/RGBA PNG (``zlib``
-inflate + full None/Sub/Up/Average/Paeth unfiltering) — and raises
-``NotImplementedError`` for formats needing external codecs (JPEG/MP4 need
-PIL/pyav, absent in this container) or PNG features beyond that profile
-(palette, 16-bit, interlace); that raise is the production-decoder hook.
+Python stdlib + numpy can parse — PCM WAV (``wave``), uncompressed 24-bit
+BMP, binary PPM (``struct``), non-interlaced 8-bit RGB/RGBA PNG (``zlib``
+inflate + full None/Sub/Up/Average/Paeth unfiltering), and baseline
+sequential JFIF JPEG (T.81 Huffman + IDCT, :mod:`.jpeg`) — and raises
+``NotImplementedError`` for formats needing external codecs (MP4 needs
+pyav, absent in this container) or profiles beyond the built-ins (palette/
+16-bit/interlaced PNG, progressive/subsampled JPEG); that raise is the
+production-decoder hook.
 ``fake_decode`` remains the dependency-free stand-in for pipelines over
 arbitrary payloads. The Spark-side plumbing (schemas, Arrow batch iteration,
 partitioning) is identical for both and tested end-to-end.
@@ -405,15 +407,31 @@ def _decode_png(payload: bytes) -> tuple[list[float], int]:
     return _mean_rgb_mat(decoded.reshape(-1, channels)[:, :3], count), 1
 
 
+def _decode_jpeg(payload: bytes) -> tuple[list[float], int]:
+    """Baseline JFIF → ([mean_r, mean_g, mean_b], 1) via the T.81 sequential
+    codec in :mod:`.jpeg` (marker parse → Huffman → dequant → IDCT →
+    YCbCr→RGB). Non-baseline profiles raise the PIL plug-in hook from
+    inside the codec."""
+    from . import jpeg as _jpeg
+
+    rgb = _jpeg.decode_baseline_jpeg(payload)
+    if rgb.shape[-1] == 1:  # grayscale: replicate to RGB means
+        rgb = np.repeat(rgb, 3, axis=-1)
+    count = rgb.shape[0] * rgb.shape[1]
+    return _mean_rgb_mat(rgb.reshape(-1, 3), count), 1
+
+
 def decode_asset(payload: bytes, modality: str) -> tuple[list[float], int]:
     """Real decoder: magic-sniffs the stdlib-decodable formats and extracts
-    (feature_vector, frame_count). Compressed formats raise
+    (feature_vector, frame_count). Formats beyond the built-in codecs raise
     ``NotImplementedError`` — the hook where PIL/torchaudio/pyav plug in on a
     production image."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:8] == _PNG_SIGNATURE:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -478,6 +496,19 @@ def make_bmp_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
 def make_ppm_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     """Deterministic binary PPM (P6) payload."""
     return b"P6\n%d %d\n255\n" % (width, height) + _lcg_bytes(seed, width * height * 3)
+
+
+def make_jpeg_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic baseline JFIF payload holding the same logical LCG RGB
+    pixels as the PPM/BMP/PNG containers for a given seed. JPEG is LOSSY —
+    quantization is part of the format — so cross-container tests compare
+    its decoded channel means with a tolerance (DC quant steps 16/17 bound
+    the per-block mean shift) while the entropy layer itself is pinned
+    bit-exact by the DCT-domain round-trip tests."""
+    pix = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_baseline_jpeg(pix.reshape(height, width, 3))
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -612,10 +643,11 @@ def synthesize_assets_from_documents(docs: DataFrame) -> DataFrame:
 
 def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Build a multimodal asset table whose payloads are REAL codec bytes
-    (WAV / BMP / PPM / PNG, seeded by doc_id) so ``extract_features(...,
-    use_real_decoder=True)`` exercises actual decoding — including zlib
-    inflate + scanline unfiltering on the PNG rows. Generation runs in
-    mapInPandas — payloads are born on executors, never on the driver."""
+    (WAV / BMP / PPM / PNG / JPEG, seeded by doc_id) so
+    ``extract_features(..., use_real_decoder=True)`` exercises actual
+    decoding — zlib inflate + scanline unfiltering on the PNG rows, Huffman
+    + IDCT on the JPEG rows. Generation runs in mapInPandas — payloads are
+    born on executors, never on the driver."""
     out_schema = "asset_id long, modality string, content binary, mime_type string"
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -624,6 +656,7 @@ def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
             ("image", "image/bmp", make_bmp_bytes),
             ("image", "image/x-portable-pixmap", make_ppm_bytes),
             ("image", "image/png", make_png_bytes),
+            ("image", "image/jpeg", make_jpeg_bytes),
         ]
         for pdf in batches:
             rows = []

@@ -1,0 +1,149 @@
+"""Baseline JPEG codec (functions/jpeg.py): entropy-layer bit-exactness,
+pixel-domain accuracy on smooth content, hand-built spec fixtures that are
+independent of the encoder, profile hooks, and the multimodal wiring."""
+
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from quill_agent_dashboard_pbi_etl_spark.functions import jpeg
+from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
+    decode_asset,
+    make_jpeg_bytes,
+    make_ppm_bytes,
+)
+
+
+def test_entropy_layer_bit_exact_round_trip():
+    """JPEG's ONLY lossy step is quantization: the decoder must recover the
+    encoder's quantized DCT coefficients bit-for-bit across shapes covering
+    partial edge blocks, single pixels, and multi-block grids."""
+    rng = np.random.default_rng(3)
+    for shape in ((8, 8), (24, 17), (64, 64), (1, 1), (9, 23), (16, 7)):
+        img = rng.integers(0, 256, (shape[0], shape[1], 3), dtype=np.uint8)
+        want = np.stack(jpeg.forward_quantized_coefficients(img), axis=1)
+        got = jpeg.decode_quantized_coefficients(jpeg.encode_baseline_jpeg(img))
+        assert got.shape == want.shape
+        assert (got == want).all(), shape
+
+
+def test_pixel_domain_accuracy_on_smooth_content():
+    flat = np.full((16, 16, 3), 137, dtype=np.uint8)
+    out = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(flat))
+    assert np.abs(out.astype(int) - 137).max() <= 1
+    grad = np.tile(np.arange(64, 192, 2, dtype=np.uint8)[None, :, None], (32, 1, 3))
+    og = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(grad))
+    assert np.abs(og.astype(int) - grad.astype(int)).mean() < 2.0
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _write_bits(bits: str) -> bytes:
+    """MSB-first bit string → bytes, 1-padded, with 0xFF byte stuffing."""
+    padded = bits + "1" * (-len(bits) % 8)
+    out = bytearray()
+    for i in range(0, len(padded), 8):
+        byte = int(padded[i : i + 8], 2)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def test_handbuilt_grayscale_dc_only_block():
+    """Spec-derived fixture built WITHOUT the encoder: one 8×8 grayscale
+    block, DC-only. Quantized DC = 8 with quant step 16 dequantizes to 128;
+    the orthonormal IDCT of a DC-only block is coef/8 in every pixel, so the
+    decoded plane must be exactly 128/8 + 128 = 144 everywhere. Catches any
+    compensating encoder↔decoder bug in DCT scaling, level shift, or
+    dequantization."""
+    # DQT: table 0, all-16 steps (written in zigzag order — uniform, so
+    # ordering is immaterial)
+    dqt = _seg(0xFFDB, bytes([0x00]) + bytes([16] * 64))
+    # SOF0: 8-bit, 8×8, 1 component (id 1, 1x1 sampling, quant table 0)
+    sof = _seg(0xFFC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # DHT from the Annex K specs (table ids 0/0)
+    dc_counts, dc_syms = jpeg.DC_LUMA_SPEC
+    ac_counts, ac_syms = jpeg.AC_LUMA_SPEC
+    dht = _seg(0xFFC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)) + _seg(
+        0xFFC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    )
+    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # Entropy data: DC category 4 (Annex K DC code for category 4) + the
+    # 4-bit magnitude 8 ('1000'), then EOB. Codes derived from the table
+    # builder, whose canonical assignment the decoder test exercises anyway;
+    # the EXPECTED PIXELS below are derived only from the spec math.
+    dc_table = jpeg._build_huffman(jpeg.DC_LUMA_SPEC)
+    ac_table = jpeg._build_huffman(jpeg.AC_LUMA_SPEC)
+    code, ln = dc_table[4]
+    eob, eob_ln = ac_table[0x00]
+    bits = format(code, f"0{ln}b") + "1000" + format(eob, f"0{eob_ln}b")
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + sos + _write_bits(bits) + b"\xff\xd9"
+    )
+    out = jpeg.decode_baseline_jpeg(payload)
+    assert out.shape == (8, 8, 1)
+    assert (out == 144).all()
+    # and through the multimodal feature lane: gray 144 → means 144/255
+    feats, frames = decode_asset(payload, "image")
+    assert frames == 1
+    assert feats == pytest.approx([144 / 255.0] * 3, abs=1e-12)
+
+
+def test_unsupported_jpeg_profiles_raise_hook():
+    base = make_jpeg_bytes(seed=1)
+    # progressive SOF2 instead of SOF0
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        jpeg.decode_baseline_jpeg(prog)
+    # subsampled chroma: hand-build an SOF with 2x2 luma sampling
+    sof = _seg(
+        0xFFC0,
+        bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        jpeg.decode_baseline_jpeg(b"\xff\xd8" + sof)
+
+
+def test_malformed_jpeg_raises_valueerror():
+    payload = make_jpeg_bytes(seed=2)
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline_jpeg(payload[:40])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline_jpeg(payload[:-2])  # missing EOI
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline_jpeg(b"\x00\x01\x02")  # not a JPEG
+
+
+def test_jpeg_container_means_close_to_lossless_containers():
+    """The JPEG stripe holds the same logical pixels as PPM/BMP/PNG; its
+    decoded channel means must sit within the quantization-bounded band of
+    the lossless containers' means (DC steps 16/17 → per-channel mean shift
+    well under 0.08 in [0,1] units)."""
+    for seed in (0, 3, 11):
+        ppm, _ = decode_asset(make_ppm_bytes(seed), "image")
+        jp, frames = decode_asset(make_jpeg_bytes(seed), "image")
+        assert frames == 1
+        assert jp == pytest.approx(ppm, abs=0.08)
+
+
+# Golden decoded means for the default 8×8 synthesizer payloads — pins the
+# whole pipeline (LCG pixels → encoder → decoder → means) numerically.
+_GOLDEN_JPEG = {
+    0: [0.5074754901960784, 0.46280637254901963, 0.4699142156862745],
+    2: [0.5016544117647059, 0.5189950980392157, 0.5124387254901961],
+    7: [0.49613970588235295, 0.5082107843137255, 0.4624387254901961],
+}
+
+
+def test_jpeg_golden_features():
+    for seed, want in _GOLDEN_JPEG.items():
+        got, frames = decode_asset(make_jpeg_bytes(seed), "image")
+        assert frames == 1
+        assert got == pytest.approx(want, abs=1e-9), seed

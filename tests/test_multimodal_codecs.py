@@ -14,6 +14,7 @@ from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
     decode_asset,
     extract_features,
     make_bmp_bytes,
+    make_jpeg_bytes,
     make_png_bytes,
     make_ppm_bytes,
     make_wav_bytes,
@@ -81,7 +82,10 @@ def test_generated_payloads_are_valid():
 
 def test_unknown_codec_raises_hook():
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_asset(b"\xff\xd8\xff\xe0....", "image")  # JPEG magic
+        decode_asset(b"GIF89a......", "image")  # GIF: no built-in codec
+    # truncated JPEG magic is now a KNOWN codec → malformed-stream ValueError
+    with pytest.raises(ValueError):
+        decode_asset(b"\xff\xd8\xff\xe0....", "image")
 
 
 def _png_with_ihdr(bit_depth: int, color_type: int, interlace: int) -> bytes:
@@ -193,21 +197,22 @@ def test_png_channel_means_handbuilt():
 def test_real_decode_pipeline(spark):
     """End-to-end: executor-side synthesis of genuine codec payloads →
     mapInPandas real decode; features must equal local decode_asset output."""
-    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    docs = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
     assets = synthesize_codec_assets_from_documents(docs)
     assert dict(assets.dtypes)["content"] == "binary"
 
     rows = {r.asset_id: r for r in extract_features(assets, use_real_decoder=True).collect()}
-    assert len(rows) == 12
-    makers = {0: make_wav_bytes, 1: make_bmp_bytes, 2: make_ppm_bytes, 3: make_png_bytes}
-    for i in range(12):
-        payload = makers[i % 4](i)
+    assert len(rows) == 15
+    makers = {0: make_wav_bytes, 1: make_bmp_bytes, 2: make_ppm_bytes,
+              3: make_png_bytes, 4: make_jpeg_bytes}
+    for i in range(15):
+        payload = makers[i % 5](i)
         feats, frames = decode_asset(payload, rows[i].modality)
         assert rows[i].byte_len == len(payload)
         assert rows[i].frames_sampled == frames
         assert rows[i].feat_dim == len(feats)
         assert rows[i].feat_mean == pytest.approx(sum(feats) / len(feats))
-        assert rows[i].modality == ("audio" if i % 4 == 0 else "image")
+        assert rows[i].modality == ("audio" if i % 5 == 0 else "image")
 
 
 # Golden feature vectors per LCG seed, computed once from the stdlib codecs
