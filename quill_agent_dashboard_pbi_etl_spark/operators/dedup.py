@@ -172,7 +172,7 @@ def bloom_maybe_flag(
     values ≤ 255) because variable-distance ``shiftright`` is not reachable
     through the column API inside a lambda.
 
-    Sizings beyond ``MAX_BLOOM_LITERAL_BITS`` (2^26 bits ≈ 4.6M keys at 1%
+    Sizings beyond ``MAX_BLOOM_LITERAL_BITS`` (2^26 bits ≈ 7M keys at 1%
     fpp) raise: at that scale ship the bitmap as a broadcast table joined on
     word index, or skip the pre-gate — the exact anti-join (ledger_gate)
     with AQE is the honest fallback, not a multi-hundred-MB plan literal.

@@ -121,6 +121,7 @@ RUNGS = [
     ("sf3", None, 30.0),   # optional rungs; skipped if the dir is absent
     ("sf10", None, 100.0),
     ("sf30", None, 300.0),
+    ("sf100", None, 1000.0),
 ]
 
 

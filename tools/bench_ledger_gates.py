@@ -52,6 +52,7 @@ RUNGS = {
     "sf3": None,
     "sf10": None,
     "sf30": None,
+    "sf100": None,
 }
 
 

@@ -59,6 +59,7 @@ RUNGS = {
     "sf1": None,  # filled from ladder_root
     "sf10": None,
     "sf30": None,
+    "sf100": None,
 }
 
 

@@ -31,8 +31,8 @@ cross-replica pairs are never near-dups:
   growth).
 
 Usage: python tools/make_scale_ladder.py [out_root]
-Writes <out_root>/sf{0.3,1,3,10,30} (default /root/repo/scale_ladder —
-gitignored; ~5.5 GB total with the sf30 rung).
+Writes <out_root>/sf{0.3,1,3,10,30,100} (default /root/repo/scale_ladder —
+gitignored; ~4.5 GB total with the sf100 rung, which alone is ~3.1 GB).
 """
 
 from __future__ import annotations
@@ -65,6 +65,9 @@ def build_rung(out_dir: str, copies: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # the sf100 rung is a 1000-branch UNION ALL; DuckDB's default parser
+    # depth cap is 1000 expressions
+    con.execute("SET max_expression_depth TO 10000")
 
     doc_parts = []
     emb_parts = []
@@ -134,6 +137,7 @@ def main() -> None:
         ("sf3", 30),
         ("sf10", 100),
         ("sf30", 300),
+        ("sf100", 1000),
     ):
         dest = os.path.join(out_root, sf)
         if os.path.isdir(dest):
