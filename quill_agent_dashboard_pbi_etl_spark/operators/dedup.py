@@ -88,24 +88,22 @@ def ledger_new_entries(
     ).dropDuplicates(["pk"])
 
 
-def bloom_build(
+def bloom_words(
     keys: DataFrame,
     key_col: str = "pk",
     num_bits: int = 1 << 16,
     num_hashes: int = 7,
-) -> list[int]:
-    """Build a Bloom-filter bitmap over ``keys`` distributedly; return it as
-    ``num_bits/64`` longs (driver-sized BY DESIGN — the default 64 Kbit is
-    8 KB; size as ``num_bits ≈ 1.44·n·log2(1/fpp)`` for n expected keys).
+) -> DataFrame:
+    """Bloom bitmap over ``keys`` as a DISTRIBUTED ``(w, bits)`` word table —
+    word index ``w`` = bit-position // 64, ``bits`` = the OR of that word's
+    set bits. Only words with at least one set bit appear; the bitmap never
+    exists as a single object on any node.
 
-    Each key sets ``num_hashes`` bits at ``xxhash64(key, i) mod num_bits``;
-    the executor side emits (word, bitmask) pairs and one ``bit_or``
-    aggregation folds them — only ≤ num_bits/64 rows ever reach the driver,
-    exactly like broadcasting IVF centroids. No UDF anywhere.
-
-    ``num_bits`` is rounded UP to a multiple of 64 (the bitmap is long
-    words); :func:`bloom_maybe_flag` derives the modulus from the bitmap
-    length, so build and probe always agree.
+    Each key sets ``num_hashes`` bits at ``xxhash64(key, i) mod num_bits``
+    (identical hashing to :func:`bloom_build` — the two encodings are
+    interchangeable views of the same filter). One shuffle, sized by the
+    KEY table (num_hashes position rows per key), never by the events that
+    will probe it. No UDF anywhere.
     """
     num_bits = ((num_bits + 63) // 64) * 64
     pos = keys.select(
@@ -120,15 +118,38 @@ def bloom_build(
             )
         ).alias("pos")
     )
-    words = (
+    return (
         pos.select(
             (F.col("pos") / 64).cast("long").alias("w"),
             F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "pk",
+    num_bits: int = 1 << 16,
+    num_hashes: int = 7,
+) -> list[int]:
+    """Build a Bloom-filter bitmap over ``keys`` distributedly; return it as
+    ``num_bits/64`` longs (driver-sized BY DESIGN — the default 64 Kbit is
+    8 KB; size as ``num_bits ≈ 1.44·n·log2(1/fpp)`` for n expected keys).
+
+    The distributed word aggregation is :func:`bloom_words`; this merely
+    densifies its ≤ num_bits/64 rows into the literal-encoding list —
+    exactly like broadcasting IVF centroids. Past
+    ``MAX_BLOOM_LITERAL_BITS`` skip this densification entirely and keep
+    the word table distributed (:func:`bloom_maybe_flag_bucketed`).
+
+    ``num_bits`` is rounded UP to a multiple of 64 (the bitmap is long
+    words); :func:`bloom_maybe_flag` derives the modulus from the bitmap
+    length, so build and probe always agree.
+    """
+    num_bits = ((num_bits + 63) // 64) * 64
+    words = bloom_words(keys, key_col, num_bits, num_hashes).collect()
     dense = [0] * (num_bits // 64)
     for r in words:
         dense[r["w"]] = r["bits"]
@@ -173,9 +194,11 @@ def bloom_maybe_flag(
     through the column API inside a lambda.
 
     Sizings beyond ``MAX_BLOOM_LITERAL_BITS`` (2^26 bits ≈ 7M keys at 1%
-    fpp) raise: at that scale ship the bitmap as a broadcast table joined on
-    word index, or skip the pre-gate — the exact anti-join (ledger_gate)
-    with AQE is the honest fallback, not a multi-hundred-MB plan literal.
+    fpp) raise: at that scale the bitmap ships as a broadcast word table
+    instead (:func:`bloom_maybe_flag_bucketed` — :func:`ledger_gate_bloom`
+    dispatches there automatically), or skip the pre-gate — the exact
+    anti-join (ledger_gate) with AQE is the honest fallback, never a
+    multi-hundred-MB plan literal.
     """
     num_bits = 64 * len(bitmap)
     if num_bits > MAX_BLOOM_LITERAL_BITS:
@@ -183,9 +206,10 @@ def bloom_maybe_flag(
             f"Bloom bitmap is {num_bits} bits ({num_bits // (8 << 20)} MiB); "
             f"embedding more than MAX_BLOOM_LITERAL_BITS="
             f"{MAX_BLOOM_LITERAL_BITS} as a plan literal makes plan "
-            "construction/serialization the bottleneck. Use the exact "
-            "ledger_gate anti-join, or restructure the pre-gate as a "
-            "broadcast join on word index."
+            "construction/serialization the bottleneck. Use "
+            "bloom_maybe_flag_bucketed (broadcast word-table probe; "
+            "ledger_gate_bloom dispatches there automatically), or the "
+            "exact ledger_gate anti-join."
         )
     packed = b"".join(
         (int(w) & ((1 << 64) - 1)).to_bytes(8, "little") for w in bitmap
@@ -216,6 +240,60 @@ def bloom_maybe_flag(
     return df.withColumn(flag_col, maybe)
 
 
+def bloom_maybe_flag_bucketed(
+    df: DataFrame,
+    words: DataFrame,
+    num_bits: int,
+    key_col: str,
+    num_hashes: int = 7,
+    flag_col: str = "__bloom_maybe",
+) -> DataFrame:
+    """Beyond-guard Bloom probe: the bitmap stays the DISTRIBUTED
+    ``(w, bits)`` word table from :func:`bloom_words` and each of the
+    ``num_hashes`` probes is one broadcast equi-join on word index — the
+    switch :func:`bloom_maybe_flag`'s guard prescribes, implemented.
+
+    Why this shape at 100 TB: the literal encoding ships the WHOLE bitmap
+    inside the serialized plan (fine to ~8 MiB, pathological at 100 MiB);
+    here the word table rides an ordinary broadcast (~16 bytes per set
+    word — a 2^30-bit / 112M-key bitmap is a 256 MB broadcast, executor
+    memory not plan bytes), probes stay map-side (no shuffle of the probed
+    events; left 1:≤1 joins on the UNIQUE word index preserve row
+    multiplicity), and a word absent from the table is a zero word — the
+    COALESCE(false) arm — so false negatives remain impossible. The
+    variable-distance bit test uses SQL ``shiftright(bits, pos % 64)``,
+    reachable through ``F.expr`` (only the column-API-inside-lambda form
+    is not, per :func:`bloom_maybe_flag`'s docstring).
+    """
+    num_bits = ((num_bits + 63) // 64) * 64
+    out = df
+    hits = []
+    scratch: list[str] = []
+    for i in range(num_hashes):
+        p_col, w_col, b_col = f"__bp{i}", f"__bw{i}", f"__bb{i}"
+        scratch += [p_col, w_col, b_col]
+        out = out.withColumn(
+            p_col,
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)),
+        ).withColumn(w_col, (F.col(p_col) / 64).cast("long"))
+        probe = F.broadcast(
+            words.select(F.col("w").alias(w_col), F.col("bits").alias(b_col))
+        )
+        out = out.join(probe, on=w_col, how="left")
+        hits.append(
+            F.coalesce(
+                F.expr(
+                    f"(shiftright({b_col}, CAST({p_col} % 64 AS INT)) & 1) = 1"
+                ),
+                F.lit(False),
+            )
+        )
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    return out.withColumn(flag_col, maybe).drop(*scratch)
+
+
 def ledger_gate_bloom(
     events: DataFrame,
     ledger: DataFrame,
@@ -238,14 +316,30 @@ def ledger_gate_bloom(
     shuffled volume for one cheap extra pass over the batch. The reference's
     DynamoDB-side analog would be a negative cache in front of the
     conditional write.
+
+    Sizings past ``MAX_BLOOM_LITERAL_BITS`` dispatch automatically to the
+    distributed word-table probe (:func:`bloom_maybe_flag_bucketed`) — same
+    filter, no plan literal, no driver densify — so the operator stays
+    scale-safe instead of raising at the ~7M-key boundary the sf100 ladder
+    rung measured (SCALE_LADDER.json ``ledger_gate_crossover.sf100``).
     """
     if now_epoch is None:
         now_epoch = int(time.time())
     live = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
         F.col("pk").alias(key_col)
     )
-    bitmap = bloom_build(live, key_col, num_bits, num_hashes)
-    flagged = bloom_maybe_flag(events, bitmap, key_col, num_hashes)
+    rounded_bits = ((num_bits + 63) // 64) * 64
+    if rounded_bits > MAX_BLOOM_LITERAL_BITS:
+        # Beyond the plan-literal guard the bitmap stays distributed: word
+        # table + broadcast-join probes (bloom_maybe_flag_bucketed). Same
+        # filter, same no-false-negative contract, no driver densify.
+        words = bloom_words(live, key_col, num_bits, num_hashes)
+        flagged = bloom_maybe_flag_bucketed(
+            events, words, num_bits, key_col, num_hashes
+        )
+    else:
+        bitmap = bloom_build(live, key_col, num_bits, num_hashes)
+        flagged = bloom_maybe_flag(events, bitmap, key_col, num_hashes)
     clean = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
     maybe = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
     return clean.unionByName(maybe.join(live, on=key_col, how="left_anti"))

@@ -262,6 +262,88 @@ def test_ledger_gate_bloom_equals_exact_gate(spark):
     assert len(exact) == 150  # 200 − 50 live
 
 
+def test_bloom_bucketed_probe_matches_literal_probe(spark):
+    """The distributed word-table probe (bloom_maybe_flag_bucketed) is the
+    literal probe's beyond-guard twin: identical hashing → identical flags
+    on every row of the same filter, no false negatives, row multiplicity
+    preserved through the k 1:≤1 left joins, scratch columns dropped."""
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(800)], "pk string")
+    nbits = 100_000
+    bitmap = dedup.bloom_build(keys, "pk", num_bits=nbits)
+    words = dedup.bloom_words(keys, "pk", num_bits=nbits)
+    probe = spark.createDataFrame(
+        [(f"K:{i}",) for i in range(400)]
+        + [(f"X:{i}",) for i in range(1200)]
+        + [("K:7",), ("K:7",)],  # duplicate rows must stay duplicated
+        "pk string",
+    )
+    lit = sorted(
+        (r.pk, r["__bloom_maybe"])
+        for r in dedup.bloom_maybe_flag(probe, bitmap, "pk").collect()
+    )
+    buck = sorted(
+        (r.pk, r["__bloom_maybe"])
+        for r in dedup.bloom_maybe_flag_bucketed(
+            probe, words, nbits, "pk"
+        ).collect()
+    )
+    assert buck == lit
+    assert len(buck) == probe.count()
+    ins = dedup.bloom_maybe_flag_bucketed(keys, words, nbits, "pk")
+    assert ins.filter(~F.col("__bloom_maybe")).count() == 0
+    assert set(ins.columns) == {"pk", "__bloom_maybe"}
+
+
+def test_bloom_bucketed_probe_stays_map_side(spark):
+    """The probed side must not shuffle: every word-table probe is a
+    BroadcastHashJoin (the word table carries an explicit broadcast hint,
+    so this holds regardless of its post-shuffle size estimate)."""
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(100)], "pk string")
+    words = dedup.bloom_words(keys, "pk", num_bits=1 << 12)
+    probe = spark.createDataFrame([(f"K:{i}",) for i in range(50)], "pk string")
+    out = dedup.bloom_maybe_flag_bucketed(
+        probe, words, 1 << 12, "pk", num_hashes=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ledger_gate_bloom_beyond_guard_dispatches_and_matches(
+    spark, monkeypatch
+):
+    """Past MAX_BLOOM_LITERAL_BITS the gate must NOT raise: it dispatches to
+    the word-table probe and stays row-identical to the exact gate,
+    including expired-entry readmission (guard shrunk so the dispatch
+    branch runs without building a 67-Mbit bitmap)."""
+    monkeypatch.setattr(dedup, "MAX_BLOOM_LITERAL_BITS", 1 << 10)
+    events = spark.createDataFrame(
+        [(f"E:{i}", dt.datetime(2024, 1, 15, 12)) for i in range(200)],
+        "dedup_key string, ts timestamp",
+    )
+    now = 1705320000
+    ledger = spark.createDataFrame(
+        [(f"E:{i}", dt.datetime(2024, 1, 10), now + 1000) for i in range(50)]
+        + [
+            (f"E:{i}", dt.datetime(2023, 12, 1), now - 1000)
+            for i in range(50, 60)
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    exact = {
+        r.dedup_key
+        for r in dedup.ledger_gate(events, ledger, now_epoch=now).collect()
+    }
+    bloomed = {
+        r.dedup_key
+        for r in dedup.ledger_gate_bloom(
+            events, ledger, now_epoch=now, num_bits=1 << 16
+        ).collect()
+    }
+    assert bloomed == exact
+    assert len(exact) == 150
+
+
 def test_merge_capable_rejects_non_merge_table_provider(spark, tmp_path):
     """The probe must sniff the TARGET TABLE's provider, not just session
     extensions: a parquet-provider table in a Delta-extended session fails at

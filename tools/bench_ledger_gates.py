@@ -114,9 +114,49 @@ def main() -> None:
         res["live_keys"] = live_n
         res["bloom_mbits"] = round(num_bits / 1e6, 1)
 
+        # Same sizing through the beyond-guard encoding (word table +
+        # broadcast-join probes) — the path ledger_gate_bloom dispatches to
+        # past MAX_BLOOM_LITERAL_BITS, forced here at every rung so the two
+        # encodings price against each other on identical filters.
+        t0 = time.perf_counter()
+        live_keys = ledger.filter(
+            F.col("expiresAt") >= F.lit(now_epoch)
+        ).select(F.col("pk").alias("dedup_key"))
+        words = dedup.bloom_words(live_keys, "dedup_key", num_bits)
+        flagged = dedup.bloom_maybe_flag_bucketed(
+            fact, words, num_bits, "dedup_key"
+        )
+        bucketed = flagged.filter(~F.col("__bloom_maybe")).drop(
+            "__bloom_maybe"
+        ).unionByName(
+            flagged.filter(F.col("__bloom_maybe"))
+            .drop("__bloom_maybe")
+            .join(live_keys, on="dedup_key", how="left_anti")
+        )
+        _noop(bucketed)
+        res["bloom_bucketed_sec"] = round(time.perf_counter() - t0, 3)
+
         n_exact, n_bloom = exact.count(), bloom.count()
-        assert n_exact == n_bloom, (rung, n_exact, n_bloom)
+        n_bucketed = bucketed.count()
+        assert n_exact == n_bloom == n_bucketed, (
+            rung, n_exact, n_bloom, n_bucketed,
+        )
         res["survivors"] = n_exact
+
+        # Where a tighter-fpp sizing genuinely crosses the literal guard,
+        # run the PUBLIC operator at that sizing — the auto-dispatch
+        # executing for real, not via a shrunken test guard.
+        strict_bits = int(1.44 * live_n * math.log2(1 / 0.001))
+        if strict_bits > dedup.MAX_BLOOM_LITERAL_BITS:
+            t0 = time.perf_counter()
+            beyond = dedup.ledger_gate_bloom(
+                fact, ledger, key_col="dedup_key", now_epoch=now_epoch,
+                num_bits=strict_bits,
+            )
+            _noop(beyond)
+            res["bloom_beyond_guard_sec"] = round(time.perf_counter() - t0, 3)
+            res["bloom_beyond_guard_mbits"] = round(strict_bits / 1e6, 1)
+            assert beyond.count() == n_exact, (rung, "beyond-guard mismatch")
 
         # The metric the Bloom gate actually targets: rows entering the
         # anti-join (= shuffle volume once the ledger no longer broadcasts).
