@@ -62,12 +62,45 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     task regardless of core count. For expression-heavy stages (JSON probing,
     regex, shingling) that serializes the whole pipeline, so we pay one cheap
     narrow-input shuffle to unlock N-way parallelism. On a real 100 TB layout
-    (many files/row groups) the scan already parallelizes and this no-ops.
+    (many files) the scan already parallelizes and this no-ops.
+
+    The guard must count parquet ROW GROUPS, not nominal partitions, because
+    the nominal count LIES for few-file parquet: Spark sizes byte-range
+    splits to fill default parallelism, but a row group goes whole to the
+    split holding its midpoint — a single 180 MB file with 13 row groups
+    reports 32 scan partitions while only 13 carry rows (19 run empty).
+    Measured on the sf30 ladder rung: the minhash signature stage ran at
+    effective parallelism ~12/32, turning 3× data into ~9× wall and
+    masquerading as super-linear scaling (SCALE.md, round 8). Row-group
+    counts come from driver-side footer reads of ``df.inputFiles()`` —
+    milliseconds for the few-file case that needs them, skipped entirely
+    once ≥ min_parts files exist (the 100 TB layout). Non-parquet or
+    unreadable-from-driver inputs (remote FS) and in-memory DataFrames fall
+    back to the nominal partition-count guard, which is honest for
+    byte-splittable sources.
     """
     if min_parts is None:
         sc = df.sparkSession.sparkContext
         min_parts = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_parts:
+    files = df.inputFiles()
+    if len(files) >= min_parts:
+        return df
+    effective = None
+    if files and all(f.endswith(".parquet") for f in files):
+        try:
+            import pyarrow.parquet as pq
+
+            effective = sum(
+                pq.ParquetFile(
+                    f[len("file://"):] if f.startswith("file://") else f
+                ).metadata.num_row_groups
+                for f in files
+            )
+        except Exception:
+            effective = None  # remote FS / odd layout → nominal guard below
+    if effective is None:
+        effective = df.rdd.getNumPartitions()
+    if effective >= min_parts:
         return df
     return df.repartition(min_parts)
 

@@ -150,3 +150,48 @@ def test_push_rows_rest_chunking(spark):
 
     push_rows_rest(df, post, max_rows_per_post=10)
     assert acc.value == 25
+
+
+def test_ensure_min_partitions_sees_through_nominal_split_lie(spark, tmp_path):
+    """A single parquet file reports up to defaultParallelism nominal scan
+    partitions, but a row group goes whole to the split holding its midpoint
+    — only the row-group count bounds effective parallelism. The guard must
+    count row groups (driver footer read), not nominal splits: measured on
+    the sf30 ladder rung, trusting nominal splits serialized the minhash
+    signature stage to ~12/32 cores and masqueraded as super-linear scaling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import (
+        ensure_min_partitions,
+    )
+
+    path = str(tmp_path / "fat.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(10_000))}), path, row_group_size=2_500
+    )  # 1 file, 4 row groups
+    df = spark.read.parquet(path)
+
+    # fewer row groups than min_parts → repartition regardless of what the
+    # nominal split count claims
+    assert ensure_min_partitions(df, 8).rdd.getNumPartitions() == 8
+    # row groups already ≥ min_parts → trusted as-is, no shuffle inserted
+    assert ensure_min_partitions(df, 4) is df
+    assert ensure_min_partitions(df, 2) is df
+
+
+def test_ensure_min_partitions_many_files_and_memory_noop(spark, tmp_path):
+    """≥ min_parts FILES (the real 100 TB layout) must short-circuit without
+    any footer reads; in-memory DataFrames keep the partition-count guard."""
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import (
+        ensure_min_partitions,
+    )
+
+    out = str(tmp_path / "many")
+    spark.range(1000).repartition(6).write.parquet(out)
+    many = spark.read.parquet(out)
+    assert ensure_min_partitions(many, 4) is many
+
+    mem = spark.range(100).repartition(5)
+    assert ensure_min_partitions(mem, 4) is mem
+    assert ensure_min_partitions(mem, 16).rdd.getNumPartitions() == 16

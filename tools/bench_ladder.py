@@ -145,13 +145,20 @@ def _release_blocks(spark) -> None:
 
 
 def main() -> None:
-    # args: [ladder_root] [--only name1,name2] — --only re-times a subset and
-    # merges into the existing SCALE_LADDER.json (the rest is kept as-is).
+    # args: [ladder_root] [--only name1,name2] [--max-rung sfX] — --only
+    # re-times a subset and merges into the existing SCALE_LADDER.json (the
+    # rest is kept as-is); --max-rung caps how far up the ladder this
+    # invocation climbs (on top of each query's own FAMILY cap).
     argv = sys.argv[1:]
     only = None
     if "--only" in argv:
         i = argv.index("--only")
         only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    max_rung = None
+    if "--max-rung" in argv:
+        i = argv.index("--max-rung")
+        max_rung = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     rungs = [
@@ -159,6 +166,13 @@ def main() -> None:
         for name, path, scale in RUNGS
     ]
     rungs = [r for r in rungs if os.path.isdir(r[1])]
+    if max_rung is not None:
+        cap = {name: i for i, (name, _, _) in enumerate(RUNGS)}[max_rung]
+        rungs = [
+            r
+            for r in rungs
+            if {name: i for i, (name, _, _) in enumerate(RUNGS)}[r[0]] <= cap
+        ]
     spark = get_spark(app_name="bench-ladder")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -25,7 +25,10 @@ prior cell must not bleed into the next). Results merge into
 
 Usage:
     SPARK_GRAFT_DRIVER_MEM=64g python tools/probe_pair_trunk.py [ladder_root]
-    # child mode (internal): probe_pair_trunk.py --cell <master> <sf_dir>
+    # any other wide-trunk query (results land under
+    # SCALE_LADDER.json["spill_probes"][<query>] instead):
+    python tools/probe_pair_trunk.py --query dedup_minhash_lsh [ladder_root]
+    # child mode (internal): probe_pair_trunk.py --cell <master> <sf_dir> <query>
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ sys.path.insert(0, "/root/repo")
 QUERY = "dedup_ngram_jaccard"
 
 
-def run_cell(master: str, sf_dir: str) -> None:
+def run_cell(master: str, sf_dir: str, query: str = QUERY) -> None:
     """Child: one (master, rung) measurement in a fresh JVM; prints ONE JSON
     line on stdout (everything else goes to stderr)."""
     from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
@@ -57,7 +60,7 @@ def run_cell(master: str, sf_dir: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    QUERIES[QUERY](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    QUERIES[query](spark, sf_dir).write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
 
     ui = spark.sparkContext.uiWebUrl  # e.g. http://host:4049
@@ -71,6 +74,15 @@ def run_cell(master: str, sf_dir: str) -> None:
     total_mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
     total_disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
     total_shuffle_w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    # GC share distinguishes heap-contention super-linearity from spill:
+    # zero spill + exploding GC fraction = the hash-agg working set is
+    # thrashing the collector, not the external sorter.
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/executors"
+    ) as r:
+        execs = json.load(r)
+    gc_ms = sum(e.get("totalGCTime", 0) for e in execs)
+    task_ms = sum(e.get("totalDuration", 0) for e in execs)
     spillers = sorted(
         (
             {
@@ -94,6 +106,9 @@ def run_cell(master: str, sf_dir: str) -> None:
         "memory_spill_gb": round(total_mem / 2**30, 2),
         "disk_spill_gb": round(total_disk / 2**30, 2),
         "shuffle_write_gb": round(total_shuffle_w / 2**30, 2),
+        "gc_time_sec": round(gc_ms / 1000, 1),
+        "task_time_sec": round(task_ms / 1000, 1),
+        "gc_fraction": round(gc_ms / task_ms, 3) if task_ms else None,
         "top_spill_stages": [d for d in spillers[:4] if d["memory_spill_mb"] or d["disk_spill_mb"]],
     }
     spark.stop()
@@ -102,10 +117,20 @@ def run_cell(master: str, sf_dir: str) -> None:
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--cell":
-        run_cell(sys.argv[2], sys.argv[3])
+        run_cell(
+            sys.argv[2],
+            sys.argv[3],
+            sys.argv[4] if len(sys.argv) > 4 else QUERY,
+        )
         return
 
-    ladder_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
+    argv = sys.argv[1:]
+    query = QUERY
+    if "--query" in argv:
+        i = argv.index("--query")
+        query = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     cells = []
     for master in ("local[32]", "local[8]"):
         for rung in ("sf10", "sf30"):
@@ -117,7 +142,7 @@ def main() -> None:
             env = dict(os.environ)
             env.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cell", master, sf_dir],
+                [sys.executable, os.path.abspath(__file__), "--cell", master, sf_dir, query],
                 capture_output=True,
                 text=True,
                 env=env,
@@ -140,13 +165,18 @@ def main() -> None:
 
     path = "/root/repo/SCALE_LADDER.json"
     data = json.load(open(path)) if os.path.exists(path) else {}
-    probe = data.setdefault("sf30_pair_trunk_probe", {})
-    probe["spill_instrumentation"] = {
-        "query": QUERY,
+    payload = {
+        "query": query,
         "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
         "cells": cells,
         "exponents_sf10_to_sf30": exponents,
     }
+    if query == QUERY:
+        data.setdefault("sf30_pair_trunk_probe", {})[
+            "spill_instrumentation"
+        ] = payload
+    else:
+        data.setdefault("spill_probes", {})[query] = payload
     with open(path, "w") as fh:
         json.dump(data, fh, indent=1)
         fh.write("\n")
