@@ -145,10 +145,15 @@ def _release_blocks(spark) -> None:
 
 
 def main() -> None:
-    # args: [ladder_root] [--only name1,name2] [--max-rung sfX] — --only
-    # re-times a subset and merges into the existing SCALE_LADDER.json (the
-    # rest is kept as-is); --max-rung caps how far up the ladder this
-    # invocation climbs (on top of each query's own FAMILY cap).
+    # args: [ladder_root] [--only name1,name2] [--max-rung sfX]
+    # [--rungs sfX,sfY] — --only re-times a subset and merges into the
+    # existing SCALE_LADDER.json (the rest is kept as-is); --max-rung caps
+    # how far up the ladder this invocation climbs (on top of each query's
+    # own FAMILY cap); --rungs re-times ONLY the named rungs and merges
+    # rung-wise (exponents recomputed from the merged timings), which is the
+    # recovery path when one cell of a long multi-rung run dies (e.g. a
+    # late-rung OOM after 40 accumulated executions) — refill just that cell
+    # in a fresh JVM instead of re-paying the whole column.
     argv = sys.argv[1:]
     only = None
     if "--only" in argv:
@@ -159,6 +164,11 @@ def main() -> None:
     if "--max-rung" in argv:
         i = argv.index("--max-rung")
         max_rung = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    rung_filter = None
+    if "--rungs" in argv:
+        i = argv.index("--rungs")
+        rung_filter = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     rungs = [
@@ -173,6 +183,8 @@ def main() -> None:
             for r in rungs
             if {name: i for i, (name, _, _) in enumerate(RUNGS)}[r[0]] <= cap
         ]
+    if rung_filter is not None:
+        rungs = [r for r in rungs if r[0] in rung_filter]
     spark = get_spark(app_name="bench-ladder")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -201,32 +213,44 @@ def main() -> None:
                 print(f"ERR {q}@{rung}: {exc}", file=sys.stderr)
             print(f"  {q}@{rung}: {timings[q][rung]}s rows={rows[q][rung]}")
 
-    exponents: dict[str, dict[str, float]] = {}
-    for q in family:
-        exponents[q] = {}
-        for (r1, _, s1), (r2, _, s2) in zip(rungs, rungs[1:]):
-            t1, t2 = timings[q].get(r1, -1), timings[q].get(r2, -1)
-            if t1 > 0 and t2 > 0:
-                exponents[q][f"{r1}->{r2}"] = round(
-                    math.log(t2 / t1) / math.log(s2 / s1), 2
-                )
-
     # Load the existing file and update ONLY this tool's three sections —
     # bench_ledger_gates.py / bench_streaming.py merge foreign top-level
     # sections (ledger_gate_crossover, streaming_ingest*) into the same file,
     # and a wholesale replace here would silently delete them.
-    mine = {"timings_sec": timings, "rows": rows, "scaling_exponents": exponents}
     out: dict = {}
     if os.path.exists("/root/repo/SCALE_LADDER.json"):
         with open("/root/repo/SCALE_LADDER.json") as fh:
             out = json.load(fh)
-    for section, payload in mine.items():
-        if only is not None:
-            merged = dict(out.get(section, {}))
-            merged.update(payload)
+    partial = only is not None or rung_filter is not None
+    for section, payload in (("timings_sec", timings), ("rows", rows)):
+        if partial:
+            # rung-wise merge: a --rungs refill must not clobber the other
+            # rungs of the same query measured by a previous invocation.
+            merged = {k: dict(v) for k, v in out.get(section, {}).items()}
+            for q, cells in payload.items():
+                merged.setdefault(q, {}).update(cells)
             out[section] = merged
         else:
             out[section] = payload
+
+    # Exponents always come from the MERGED timings, so a partial refill
+    # re-derives the pairs that straddle old and new cells.
+    scale_of = {name: s for name, _, s in RUNGS}
+    rung_order = [name for name, _, _ in RUNGS]
+    exponents: dict[str, dict[str, float]] = dict(
+        out.get("scaling_exponents", {}) if partial else {}
+    )
+    for q in family:
+        ts = out["timings_sec"].get(q, {})
+        exponents[q] = {}
+        present = [r for r in rung_order if r in ts]
+        for r1, r2 in zip(present, present[1:]):
+            t1, t2 = ts[r1], ts[r2]
+            if t1 > 0 and t2 > 0:
+                exponents[q][f"{r1}->{r2}"] = round(
+                    math.log(t2 / t1) / math.log(scale_of[r2] / scale_of[r1]), 2
+                )
+    out["scaling_exponents"] = exponents
     with open("/root/repo/SCALE_LADDER.json", "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
