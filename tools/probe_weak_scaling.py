@@ -71,12 +71,29 @@ def run_cell(master: str, sf_dir: str, query: str = QUERY) -> None:
             "spark.ui.enabled": "true",
             "spark.ui.port": "4051",
             "spark.executor.memory": EXEC_MEM,
-            # the driver only coordinates here; keep its heap small so cell
-            # memory is executor memory.
-            "spark.driver.memory": "8g",
+            # NOT merely a coordinator: under AQE broadcast conversion the
+            # DRIVER collects and builds every broadcast relation. At 8g the
+            # sf30 cells died in notEnoughMemoryToBuildAndBroadcastTableError
+            # while all executors were healthy — the inverted-index join side
+            # sits under the 64 MB threshold serialized but not in driver
+            # build form. 16g fits it; executor memory still dominates cells.
+            "spark.driver.memory": "16g",
+            # Three executors spilling tens of GB to one local disk can
+            # stall RPC threads past the 120s default; ride out writeback
+            # storms instead of declaring executors dead mid-spill.
+            "spark.network.timeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
+            # If executors genuinely cannot start, fail the app after a few
+            # tries — the default standalone behavior relaunched 1,546
+            # executors in 60s before giving up (measured).
+            "spark.deploy.maxExecutorRetries": "3",
         },
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    # WARN, not ERROR: in local-cluster mode the standalone Master/Worker log
+    # through the driver's log4j, and executor exit statuses are the only
+    # diagnosable trace of a crash loop. WEAK_PROBE_LOG=INFO for a post-mortem
+    # rerun — the master states WHY it replaced an executor only at INFO.
+    spark.sparkContext.setLogLevel(os.environ.get("WEAK_PROBE_LOG", "WARN"))
     t0 = time.perf_counter()
     QUERIES[query](spark, sf_dir).write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
@@ -128,39 +145,74 @@ def main() -> None:
         i = argv.index("--query")
         query = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    cell_filter = None
+    if "--cells" in argv:
+        i = argv.index("--cells")
+        cell_filter = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
+
+    # Start from any previously recorded cells so a single-cell rerun
+    # (--cells) refines rather than discards the rest.
+    path = "/root/repo/SCALE_LADDER.json"
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    cells = dict(
+        data.get("weak_scaling_probe", {}).get(query, {}).get("cells", {})
+    )
 
     plan = [
         ("baseline_sf10_1exec", "sf10", _master(1)),
         ("weak_scaled_sf30_3exec", "sf30", _master(3)),
         ("control_sf30_1exec", "sf30", _master(1)),
     ]
-    cells = {}
     for label, rung, master in plan:
+        if cell_filter is not None and label not in cell_filter:
+            continue
         sf_dir = os.path.join(ladder_root, rung)
         if not os.path.isdir(sf_dir):
             print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
             continue
         print(f"=== {label}: {master} @ {rung} ===", file=sys.stderr)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cell", master, sf_dir, query],
-            capture_output=True,
-            text=True,
-            env=dict(os.environ),
-            timeout=7200,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cell", master, sf_dir, query],
+                capture_output=True,
+                text=True,
+                env=dict(os.environ),
+                timeout=7200,
+            )
+        except subprocess.TimeoutExpired:
+            cells[label] = {"error": "timeout after 7200s", "rung": rung}
+            _write(path, query, cells, _summary(cells))
+            continue
         if proc.returncode != 0:
+            # keep going: a dead cell must not discard the measured ones.
             print(proc.stderr[-3000:], file=sys.stderr)
-            raise SystemExit(f"cell {label} failed")
+            cells[label] = {
+                "error": proc.stderr.strip().splitlines()[-1][-300:]
+                if proc.stderr.strip()
+                else f"exit {proc.returncode}",
+                "rung": rung,
+            }
+            _write(path, query, cells, _summary(cells))
+            continue
         cell = json.loads(proc.stdout.strip().splitlines()[-1])
         cell["rung"] = rung
         cells[label] = cell
         print(json.dumps(cell, indent=1), file=sys.stderr)
+        _write(path, query, cells, _summary(cells))  # survive a mid-plan kill
 
+    print(json.dumps(_summary(cells)))
+
+
+def _summary(cells: dict) -> dict:
     summary = {}
     base = cells.get("baseline_sf10_1exec")
     weak = cells.get("weak_scaled_sf30_3exec")
     ctrl = cells.get("control_sf30_1exec")
+    base = None if base and "error" in base else base
+    weak = None if weak and "error" in weak else weak
+    ctrl = None if ctrl and "error" in ctrl else ctrl
     if base and weak:
         # 1.0 = perfect weak scaling (3x data on 3x executors costs the same
         # wall-clock as 1x on 1x). local-cluster shuffles over loopback TCP,
@@ -184,8 +236,10 @@ def main() -> None:
             if base["memory_spill_gb"]
             else None
         )
+    return summary
 
-    path = "/root/repo/SCALE_LADDER.json"
+
+def _write(path: str, query: str, cells: dict, summary: dict) -> None:
     data = json.load(open(path)) if os.path.exists(path) else {}
     data.setdefault("weak_scaling_probe", {})[query] = {
         "note": (
@@ -199,7 +253,6 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(data, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
