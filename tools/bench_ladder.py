@@ -228,7 +228,21 @@ def main() -> None:
             # rungs of the same query measured by a previous invocation.
             merged = {k: dict(v) for k, v in out.get(section, {}).items()}
             for q, cells in payload.items():
-                merged.setdefault(q, {}).update(cells)
+                tgt = merged.setdefault(q, {})
+                for rung, val in cells.items():
+                    # OOM-recovery rule: a FAILED re-measure (-1) must not
+                    # clobber a previously good cell — that would destroy
+                    # the very data the --rungs refill exists to recover
+                    # (and drop both adjacent exponent pairs with it).
+                    prior = tgt.get(rung)
+                    if val == -1 and isinstance(prior, (int, float)) and prior >= 0:
+                        print(
+                            f"  keep prior {section}[{q}][{rung}]={prior} "
+                            "(re-measure failed)",
+                            file=sys.stderr,
+                        )
+                        continue
+                    tgt[rung] = val
             out[section] = merged
         else:
             out[section] = payload

@@ -196,7 +196,20 @@ def main() -> None:
             }
             _write(path, query, cells, _summary(cells))
             continue
-        cell = json.loads(proc.stdout.strip().splitlines()[-1])
+        # A zero-exit child with empty/non-JSON stdout (e.g. killed between
+        # print and flush, or a stray stdout write from a library) must be
+        # recorded like any other dead cell, not abort the remaining plan.
+        try:
+            cell = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (IndexError, json.JSONDecodeError) as exc:
+            print(proc.stderr[-3000:], file=sys.stderr)
+            cells[label] = {
+                "error": f"unparseable child stdout ({exc}): "
+                f"{proc.stdout.strip()[-200:]!r}",
+                "rung": rung,
+            }
+            _write(path, query, cells, _summary(cells))
+            continue
         cell["rung"] = rung
         cells[label] = cell
         print(json.dumps(cell, indent=1), file=sys.stderr)
@@ -241,6 +254,13 @@ def _summary(cells: dict) -> dict:
 
 def _write(path: str, query: str, cells: dict, summary: dict) -> None:
     data = json.load(open(path)) if os.path.exists(path) else {}
+    # MERGE the freshly computed summary over the stored one rather than
+    # replacing it: partial reruns (--cells) must not drop extra summary
+    # fields recorded earlier (e.g. the hand-annotated control_outcome).
+    stored = dict(
+        data.get("weak_scaling_probe", {}).get(query, {}).get("summary", {})
+    )
+    stored.update(summary)
     data.setdefault("weak_scaling_probe", {})[query] = {
         "note": (
             "REAL separate-JVM executors (local-cluster master): weak-scaling "
@@ -248,7 +268,7 @@ def _write(path: str, query: str, cells: dict, summary: dict) -> None:
             "control cell is the same 3x data denied the extra executors."
         ),
         "cells": cells,
-        "summary": summary,
+        "summary": stored,
     }
     with open(path, "w") as fh:
         json.dump(data, fh, indent=1)
