@@ -264,34 +264,99 @@ def bloom_maybe_flag_bucketed(
     variable-distance bit test uses SQL ``shiftright(bits, pos % 64)``,
     reachable through ``F.expr`` (only the column-API-inside-lambda form
     is not, per :func:`bloom_maybe_flag`'s docstring).
+
+    The ``num_hashes`` probe joins all broadcast the SAME subplan — the
+    bare ``(w, bits)`` word table, per-probe renames applied AFTER the
+    join — so Spark's exchange reuse (``ReuseExchange`` /
+    ``AQEPropagateEmptyRelation``-era ``ReusedExchange``) materializes ONE
+    broadcast and the other k−1 joins read it: broadcast traffic is 1×
+    the word table regardless of k, not k×. (An earlier shape aliased the
+    columns per probe INSIDE the broadcast, which de-canonicalized the
+    exchanges and shipped the identical table k times;
+    :func:`tests/test_dedup_gates` asserts the single-exchange plan.) The
+    rejected alternative — explode the k probe positions to rows, join
+    once, re-aggregate per event — needs a groupBy over k× the probed
+    events plus a join back (two NEW shuffles of event-scale data, the
+    very thing the pre-gate exists to avoid) and is kept as the measured
+    counterfactual :func:`_bloom_maybe_exploded`.
     """
     num_bits = ((num_bits + 63) // 64) * 64
+    # One canonical broadcast subplan, reused by every probe join. Keep it
+    # byte-identical across iterations (no per-probe aliases) so exchange
+    # canonicalization sees k equal BroadcastExchanges and reuses the first.
+    probe = F.broadcast(words.select("w", "bits"))
     out = df
-    hits = []
-    scratch: list[str] = []
+    hit_cols: list[str] = []
     for i in range(num_hashes):
-        p_col, w_col, b_col = f"__bp{i}", f"__bw{i}", f"__bb{i}"
-        scratch += [p_col, w_col, b_col]
         out = out.withColumn(
-            p_col,
+            "__bpos",
             F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)),
-        ).withColumn(w_col, (F.col(p_col) / 64).cast("long"))
-        probe = F.broadcast(
-            words.select(F.col("w").alias(w_col), F.col("bits").alias(b_col))
-        )
-        out = out.join(probe, on=w_col, how="left")
-        hits.append(
+        ).withColumn("__bw", (F.col("__bpos") / 64).cast("long"))
+        out = out.join(probe, on=out["__bw"] == probe["w"], how="left")
+        h_col = f"__bh{i}"
+        hit_cols.append(h_col)
+        out = out.withColumn(
+            h_col,
             F.coalesce(
-                F.expr(
-                    f"(shiftright({b_col}, CAST({p_col} % 64 AS INT)) & 1) = 1"
-                ),
+                F.expr("(shiftright(bits, CAST(__bpos % 64 AS INT)) & 1) = 1"),
                 F.lit(False),
+            ),
+        ).drop("w", "bits", "__bw", "__bpos")
+    maybe = F.col(hit_cols[0])
+    for h in hit_cols[1:]:
+        maybe = maybe & F.col(h)
+    return out.withColumn(flag_col, maybe).drop(*hit_cols)
+
+
+def _bloom_maybe_exploded(
+    df: DataFrame,
+    words: DataFrame,
+    num_bits: int,
+    key_col: str,
+    num_hashes: int = 7,
+    flag_col: str = "__bloom_maybe",
+) -> DataFrame:
+    """REJECTED-ALTERNATIVE shape of the beyond-guard probe, kept for the
+    measured comparison (SCALE_LADDER.json ``bloom_probe_shapes``): explode
+    the ``num_hashes`` probe positions to rows, broadcast-join the word
+    table ONCE, re-aggregate ``bool_and`` per event, join the flags back.
+
+    Same result as :func:`bloom_maybe_flag_bucketed` (equality-tested), but
+    the re-aggregation needs a per-row identity
+    (``monotonically_increasing_id`` — plan-internal only: the id never
+    leaves this function, and both its consumers sit in one plan tree so a
+    stage retry recomputes them together), a groupBy over ``num_hashes × n``
+    rows, and an event-scale join back — two shuffles of event-sized data
+    where the production shape has zero. It exists so the shape choice is a
+    measurement, not an opinion.
+    """
+    num_bits = ((num_bits + 63) // 64) * 64
+    with_id = df.withColumn("__brow", F.monotonically_increasing_id())
+    pos = with_id.select(
+        "__brow",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
             )
+        ).alias("__bpos"),
+    ).withColumn("__bw", (F.col("__bpos") / 64).cast("long"))
+    probe = F.broadcast(words.select("w", "bits"))
+    flags = (
+        pos.join(probe, on=pos["__bw"] == probe["w"], how="left")
+        .select(
+            "__brow",
+            F.coalesce(
+                F.expr("(shiftright(bits, CAST(__bpos % 64 AS INT)) & 1) = 1"),
+                F.lit(False),
+            ).alias("__bhit"),
         )
-    maybe = hits[0]
-    for h in hits[1:]:
-        maybe = maybe & h
-    return out.withColumn(flag_col, maybe).drop(*scratch)
+        .groupBy("__brow")
+        .agg(F.min("__bhit").alias(flag_col))  # bool AND over the k probes
+    )
+    return with_id.join(flags, on="__brow", how="left").drop("__brow")
 
 
 def ledger_gate_bloom(

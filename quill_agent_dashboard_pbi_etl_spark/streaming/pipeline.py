@@ -134,6 +134,7 @@ def start_ledger_gated_fact_sink(
     available_now: bool = False,
     now_epoch: int | None = None,
     storage: StateStorage | None = None,
+    bloom_pregate: bool = False,
 ) -> StreamingQuery:
     """K4 under streaming: per-micro-batch atomic ledger gate+mark against an
     EXTERNAL parquet ledger (the reference's DynamoDB cycle verbatim,
@@ -180,8 +181,25 @@ def start_ledger_gated_fact_sink(
     table. Output layout is ``gen=<id>/batch_id=<n>/FactDateKey=<d>/``;
     readers of ``output_dir`` see ``gen``/``batch_id`` as partition columns
     — do not mix differently-laid-out data in one output root.
+
+    ``bloom_pregate=True`` runs the batch Bloom pre-gate
+    (:func:`..operators.dedup.ledger_gate_bloom`) in place of the plain
+    anti-join inside each micro-batch: the TTL-live ledger folds into a
+    Bloom filter sized per batch from the live-key count at 1% fpp, every
+    event tests it scan-side, and only the maybes (true duplicates + fpp
+    sliver) enter the exact anti-join — same result by construction (no
+    false negatives; every maybe re-checks exactly), so claims, tags, and
+    crash recovery are untouched. Worth it once the live ledger is large
+    enough that the per-batch anti-join stops broadcasting (the batch
+    ladder crossed at ~5.8M live keys, SCALE_LADDER.json
+    ``ledger_gate_crossover.sf100``); below that the extra live-count job
+    per micro-batch is pure overhead, hence the flag rather than a default.
+    Past ``MAX_BLOOM_LITERAL_BITS`` the sizing auto-dispatches to the
+    distributed word-table probe exactly like the batch operator.
     """
-    from ..operators.dedup import LedgerLock, keep_first
+    import math
+
+    from ..operators.dedup import LedgerLock, keep_first, ledger_gate_bloom
     from ..operators.materialize import pin
 
     sink_ledger_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
@@ -204,11 +222,28 @@ def start_ledger_gated_fact_sink(
             live = ledger.filter(F.col("expiresAt") >= F.lit(now)).select(
                 F.col("pk").alias("EventID")
             )
+            if bloom_pregate:
+                # Bloom pre-gate: identical survivor set (no false
+                # negatives; maybes re-check via the exact anti-join inside
+                # ledger_gate_bloom), but only the duplicate+fpp sliver of
+                # the batch enters the anti-join shuffle. Sized from the
+                # live-key count at 1% fpp (bloom_build's formula).
+                live_n = live.count()
+                num_bits = max(1 << 16, int(1.44 * live_n * math.log2(1 / 0.01)))
+                new_events = ledger_gate_bloom(
+                    unique,
+                    ledger,
+                    key_col="EventID",
+                    now_epoch=now,
+                    num_bits=num_bits,
+                )
+            else:
+                new_events = unique.join(live, "EventID", "left_anti")
             # pin: the claim set is consumed twice (emptiness check + the
             # append) — materialize the micro-batch-sized result once
             # instead of running the ledger anti-join twice under the lock.
             claims = pin(
-                unique.join(live, "EventID", "left_anti")
+                new_events
                 .select(
                     F.col("EventID").alias("pk"),
                     F.col("EventTime").alias("seenAt"),

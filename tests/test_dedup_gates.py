@@ -309,6 +309,78 @@ def test_bloom_bucketed_probe_stays_map_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bloom_bucketed_probe_single_broadcast_materialization(spark):
+    """The k probe joins must materialize the word-table broadcast ONCE —
+    the other k−1 joins read it through ReusedExchange (AQE exchange reuse
+    on the canonically-equal broadcast subplans). Broadcast traffic is
+    therefore 1× the word table regardless of num_hashes; executed-plan
+    evidence, not an assumption. Also: exactly one shuffle stage total (the
+    word-table bit_or aggregation) — the probed events never shuffle."""
+    import re
+
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(500)], "pk string")
+    nbits = 1 << 14
+    words = dedup.bloom_words(keys, "pk", num_bits=nbits)
+    probe = spark.createDataFrame([(f"K:{i}",) for i in range(1000)], "pk string")
+    k = 7
+    out = dedup.bloom_maybe_flag_bucketed(probe, words, nbits, "pk", num_hashes=k)
+    out.collect()  # AQE: reuse is decided at runtime; audit the FINAL plan
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # drop the pre-reuse initial plan
+    )
+    reused_broadcasts = len(
+        re.findall(r"ReusedExchange \[[^\]]*\], BroadcastExchange", plan)
+    )
+    real_broadcasts = len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if "BroadcastExchange" in ln and "ReusedExchange" not in ln
+        ]
+    )
+    assert real_broadcasts == 1, plan
+    assert reused_broadcasts == k - 1, plan
+    shuffle_stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+    assert len(shuffle_stages) == 1, plan
+
+
+def test_bloom_exploded_counterfactual_matches_bucketed(spark):
+    """_bloom_maybe_exploded (the rejected explode→join→re-aggregate shape,
+    kept for the measured comparison) must agree flag-for-flag with the
+    production probe, duplicates preserved — and its plan must contain the
+    event-scale re-aggregation shuffle the production shape avoids, which
+    is exactly WHY it is the counterfactual."""
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(300)], "pk string")
+    nbits = 1 << 13
+    words = dedup.bloom_words(keys, "pk", num_bits=nbits)
+    probe = spark.createDataFrame(
+        [(f"K:{i}",) for i in range(150)]
+        + [(f"Z:{i}",) for i in range(400)]
+        + [("K:3",), ("K:3",)],
+        "pk string",
+    )
+    buck = sorted(
+        (r.pk, r["__bloom_maybe"])
+        for r in dedup.bloom_maybe_flag_bucketed(probe, words, nbits, "pk").collect()
+    )
+    expl = sorted(
+        (r.pk, r["__bloom_maybe"])
+        for r in dedup._bloom_maybe_exploded(probe, words, nbits, "pk").collect()
+    )
+    assert expl == buck
+    assert len(expl) == probe.count()
+    plan = (
+        dedup._bloom_maybe_exploded(probe, words, nbits, "pk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(__brow" in plan  # the shuffle the prod shape lacks
+
+
 def test_ledger_gate_bloom_beyond_guard_dispatches_and_matches(
     spark, monkeypatch
 ):

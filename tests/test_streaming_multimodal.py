@@ -193,13 +193,18 @@ def test_stateful_session_close(spark, tmp_path):
     }
 
 
-def test_ledger_gated_sink_dedups_across_checkpoint_loss(spark, tmp_path):
+@pytest.mark.parametrize("bloom_pregate", [False, True])
+def test_ledger_gated_sink_dedups_across_checkpoint_loss(
+    spark, tmp_path, bloom_pregate
+):
     """K4 streaming: the parquet-ledger gate holds the dedup horizon OUTSIDE
     the streaming checkpoint. A second stream instance with a brand-new
     checkpoint (simulating redeploy/checkpoint loss — exactly where
     dropDuplicatesWithinWatermark forgets its state) must still drop keys the
     first instance marked, and within-batch duplicates collapse keep-first
-    before the gate."""
+    before the gate. Parametrized over the Bloom pre-gate: the pre-gated
+    micro-batch must produce the identical survivor set (no false
+    negatives; maybes re-check exactly)."""
     import json as _json
 
     from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
@@ -233,6 +238,7 @@ def test_ledger_gated_sink_dedups_across_checkpoint_loss(spark, tmp_path):
             str(tmp_path / ckpt_name),
             available_now=True,
             now_epoch=now_epoch,
+            bloom_pregate=bloom_pregate,
         )
         q.awaitTermination(180)
 
@@ -299,9 +305,12 @@ def test_ledger_gated_sink_backfill_older_than_ttl_still_dedups(spark, tmp_path)
     assert got == ["ALOWARE:1"]
 
 
-@pytest.mark.parametrize("backend_name", ["posix", "fake_remote"])
+@pytest.mark.parametrize(
+    "backend_name, bloom_pregate",
+    [("posix", False), ("fake_remote", False), ("posix", True)],
+)
 def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(
-    spark, tmp_path, backend_name
+    spark, tmp_path, backend_name, bloom_pregate
 ):
     """Crash injection for the claim-then-verify protocol: a prior attempt of
     batch 0 CLAIMED event 1 in the ledger (tagged batch0) and died before
@@ -361,6 +370,7 @@ def test_ledger_gated_sink_recovers_claimed_but_unwritten_events(
     q = start_ledger_gated_fact_sink(
         fact, ledger, str(out), str(tmp_path / "ckpt"),
         available_now=True, now_epoch=now_epoch, storage=storage,
+        bloom_pregate=bloom_pregate,
     )
     q.awaitTermination(180)
 
