@@ -108,11 +108,134 @@ def write_landing(spark, sf_dir: str, landing: str, n_files: int) -> int:
     return n
 
 
+def run_ledger_mode(ladder_root: str, wanted: list[str]) -> None:
+    """`--ledger`: time the EXTERNAL-parquet-ledger sink
+    (start_ledger_gated_fact_sink) draining each rung against a pre-seeded
+    ledger, exact anti-join vs Bloom pre-gate per rung — the streaming twin
+    of bench_ledger_gates.py. The ledger is seeded with every event before
+    2024-01-10 (the batch queries' synthetic prior run, live at the
+    NOW_ANCHOR clock), so each micro-batch gates against a realistic
+    live-key population instead of an empty table. Streamed survivors must
+    equal the batch ledger_gate survivor count (same anchor) — the
+    equivalence assert that keeps the throughput number honest.
+
+    Results merge into SCALE_LADDER.json["streaming_ledger_gate"]."""
+    import datetime as dt
+
+    from quill_agent_dashboard_pbi_etl_spark.operators import dedup
+    from quill_agent_dashboard_pbi_etl_spark.plans.registry import (
+        NOW_ANCHOR,
+        normalized_fact,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        envelopes_to_webhook_shape,
+        start_ledger_gated_fact_sink,
+    )
+
+    spark = get_spark(app_name="bench-streaming-ledger")
+    spark.sparkContext.setLogLevel("ERROR")
+    now_epoch = int(
+        dt.datetime.strptime(NOW_ANCHOR, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+
+    out: dict[str, dict] = {}
+    for rung in wanted:
+        sf_dir = RUNGS.get(rung) or os.path.join(ladder_root, rung)
+        if not os.path.isdir(sf_dir):
+            continue
+        work = tempfile.mkdtemp(prefix=f"stream_ledger_{rung.replace('.', '_')}_")
+        landing = os.path.join(work, "landing")
+        try:
+            n_files = 256
+            n_events = write_landing(spark, sf_dir, landing, n_files)
+
+            # Seed ledger + batch-side expected survivor count, shared by
+            # both timed cells (each cell copies the seed so the second
+            # cell doesn't gate against the first cell's claims).
+            fact_b = normalized_fact(spark, sf_dir)
+            seed = fact_b.filter(
+                F.col("EventTime")
+                < F.lit("2024-01-10 00:00:00").cast("timestamp")
+            ).select(
+                F.col("EventID").alias("pk"),
+                F.col("EventTime").alias("seenAt"),
+                (F.unix_timestamp("EventTime") + 14 * 86400).alias("expiresAt"),
+                F.lit("seed").alias("writer_id"),
+            )
+            seed_path = os.path.join(work, "ledger_seed")
+            seed.write.mode("overwrite").parquet(seed_path)
+            expected = dedup.ledger_gate(
+                fact_b.dropDuplicates(["EventID"]).withColumnRenamed(
+                    "EventID", "dedup_key"
+                ),
+                spark.read.parquet(seed_path),
+                key_col="dedup_key",
+                now_epoch=now_epoch,
+            ).count()
+
+            cell: dict = {"events_in": n_events, "expected_survivors": expected}
+            for label, flag in (("exact", False), ("bloom_pregate", True)):
+                ledger_path = os.path.join(work, f"ledger_{label}")
+                sink = os.path.join(work, f"out_{label}")
+                spark.read.parquet(seed_path).write.mode("overwrite").parquet(
+                    ledger_path
+                )
+                t0 = time.perf_counter()
+                stream = envelopes_to_webhook_shape(
+                    read_envelope_stream(spark, landing)
+                )
+                from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+                    normalize_webhooks,
+                )
+
+                q = start_ledger_gated_fact_sink(
+                    normalize_webhooks(stream),
+                    ledger_path,
+                    sink,
+                    os.path.join(work, f"ckpt_{label}"),
+                    available_now=True,
+                    now_epoch=now_epoch,
+                    bloom_pregate=flag,
+                )
+                q.awaitTermination(3600)
+                wall = time.perf_counter() - t0
+                written = spark.read.parquet(sink).count()
+                assert written == expected, (rung, label, written, expected)
+                cell[label] = {
+                    "wall_sec": round(wall, 3),
+                    "events_per_sec": int(n_events / wall),
+                }
+            out[rung] = cell
+            print(f"{rung}: {cell}")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    path = "/root/repo/SCALE_LADDER.json"
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data.setdefault("streaming_ledger_gate", {}).update(out)
+    data["streaming_ledger_gate"]["note"] = (
+        "External-parquet-ledger streaming sink drained against a seeded "
+        "prior-run ledger (events before 2024-01-10 live at NOW_ANCHOR), "
+        "exact anti-join vs Bloom pre-gate per micro-batch; survivors "
+        "asserted equal to the batch ledger_gate count."
+    )
+    json.dump(data, open(path, "w"), indent=1)
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
 def main() -> None:
     argv = sys.argv[1:]
     rocksdb = "--rocksdb" in argv
     if rocksdb:
         argv.remove("--rocksdb")
+    if "--ledger" in argv:
+        argv.remove("--ledger")
+        ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
+        run_ledger_mode(ladder_root, argv[1:] or list(RUNGS))
+        return
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     wanted = argv[1:] or list(RUNGS)
     spark = get_spark(app_name="bench-streaming")
