@@ -122,6 +122,7 @@ RUNGS = [
     ("sf10", None, 100.0),
     ("sf30", None, 300.0),
     ("sf100", None, 1000.0),
+    ("sf300", None, 3000.0),  # opt-in rung (make_scale_ladder.py --sf300)
 ]
 
 

@@ -53,6 +53,9 @@ RUNGS = {
     "sf10": None,
     "sf30": None,
     "sf100": None,
+    "sf300": None,  # opt-in rung (make_scale_ladder.py --sf300): 17.5M live
+    # keys -> 1% sizing 167 Mbits > MAX_BLOOM_LITERAL_BITS, so the PUBLIC
+    # operator's beyond-guard dispatch is the only legal Bloom strategy.
 }
 
 
@@ -165,16 +168,26 @@ def main() -> None:
         # these sizes because a few-million-row SMJ saturates neither memory
         # nor network on one box — the cut matters on network-bound
         # clusters, so record the volume itself.
-        maybes = dedup.bloom_maybe_flag(
-            fact, dedup.bloom_build(
-                ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
-                    F.col("pk").alias("dedup_key")
-                ),
-                "dedup_key",
+        live_for_maybes = ledger.filter(
+            F.col("expiresAt") >= F.lit(now_epoch)
+        ).select(F.col("pk").alias("dedup_key"))
+        if num_bits > dedup.MAX_BLOOM_LITERAL_BITS:
+            # sf300+: the 1% sizing itself is past the plan-literal guard,
+            # so the ONLY legal probe is the distributed word table — count
+            # the maybes through it (identical filter, identical flags).
+            flagged = dedup.bloom_maybe_flag_bucketed(
+                fact,
+                dedup.bloom_words(live_for_maybes, "dedup_key", num_bits),
                 num_bits,
-            ),
-            "dedup_key",
-        ).filter(F.col("__bloom_maybe")).count()
+                "dedup_key",
+            )
+        else:
+            flagged = dedup.bloom_maybe_flag(
+                fact,
+                dedup.bloom_build(live_for_maybes, "dedup_key", num_bits),
+                "dedup_key",
+            )
+        maybes = flagged.filter(F.col("__bloom_maybe")).count()
         res["antijoin_rows_exact"] = res["events"]
         res["antijoin_rows_bloom"] = maybes
 

@@ -130,15 +130,25 @@ def build_rung(out_dir: str, copies: int) -> None:
 
 
 def main() -> None:
-    out_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
-    for sf, copies in (
+    argv = sys.argv[1:]
+    # sf300 (~9.5 GB, 3000-branch UNION) is opt-in: it exists to force the
+    # beyond-guard Bloom dispatch and a fourth LSH decade, not for the
+    # default rebuild path.
+    include_sf300 = "--sf300" in argv
+    if include_sf300:
+        argv.remove("--sf300")
+    out_root = argv[0] if argv else "/root/repo/scale_ladder"
+    rungs = [
         ("sf0.3", 3),
         ("sf1", 10),
         ("sf3", 30),
         ("sf10", 100),
         ("sf30", 300),
         ("sf100", 1000),
-    ):
+    ]
+    if include_sf300:
+        rungs.append(("sf300", 3000))
+    for sf, copies in rungs:
         dest = os.path.join(out_root, sf)
         if os.path.isdir(dest):
             print(f"{sf} exists, skipping")
