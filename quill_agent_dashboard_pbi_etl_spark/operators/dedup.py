@@ -366,6 +366,7 @@ def ledger_gate_bloom(
     now_epoch: int | None = None,
     num_bits: int = 1 << 16,
     num_hashes: int = 7,
+    probe: str = "auto",
 ) -> DataFrame:
     """D3 ledger gate with a Bloom pre-filter — EXACT same result as
     :func:`ledger_gate` (Bloom filters have no false negatives, and every
@@ -387,14 +388,29 @@ def ledger_gate_bloom(
     filter, no plan literal, no driver densify — so the operator stays
     scale-safe instead of raising at the ~7M-key boundary the sf100 ladder
     rung measured (SCALE_LADDER.json ``ledger_gate_crossover.sf100``).
+
+    ``probe`` picks the probe encoding below the guard: ``"auto"``
+    (default) uses the plan-literal probe under ``MAX_BLOOM_LITERAL_BITS``
+    and the word table past it; ``"bucketed"`` forces the word table at
+    any sizing. Why a caller would force it: the literal probe's
+    ``conv(hex(substr))`` bit test costs real CPU PER PROBE, while the
+    bucketed probe is a codegen'd hash-join lookup — measured at sf100
+    (50M events × 7 hashes, identical 55.7 Mbit filter) the literal probe
+    ran 31–79 s vs 9.9 s bucketed. Rule of thumb: tens of millions of
+    probed events → force ``"bucketed"`` even when the bitmap would fit
+    the plan; few events against a big filter → the literal's zero-join
+    setup wins. The streaming ledger sink forces bucketed (its pre-gate
+    only pays off on huge batches by construction).
     """
+    if probe not in ("auto", "bucketed"):
+        raise ValueError(f"probe must be 'auto' or 'bucketed', got {probe!r}")
     if now_epoch is None:
         now_epoch = int(time.time())
     live = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
         F.col("pk").alias(key_col)
     )
     rounded_bits = ((num_bits + 63) // 64) * 64
-    if rounded_bits > MAX_BLOOM_LITERAL_BITS:
+    if probe == "bucketed" or rounded_bits > MAX_BLOOM_LITERAL_BITS:
         # Beyond the plan-literal guard the bitmap stays distributed: word
         # table + broadcast-join probes (bloom_maybe_flag_bucketed). Same
         # filter, same no-false-negative contract, no driver densify.

@@ -260,6 +260,19 @@ def test_ledger_gate_bloom_equals_exact_gate(spark):
     }
     assert bloomed == exact
     assert len(exact) == 150  # 200 − 50 live
+    # probe="bucketed" forces the word-table path BELOW the literal guard
+    # (the huge-probe-volume caller's knob) — same survivors exactly.
+    forced = {
+        r.dedup_key
+        for r in dedup.ledger_gate_bloom(
+            events, ledger, now_epoch=now, probe="bucketed"
+        ).collect()
+    }
+    assert forced == exact
+    import pytest
+
+    with pytest.raises(ValueError, match="probe"):
+        dedup.ledger_gate_bloom(events, ledger, now_epoch=now, probe="literal?")
 
 
 def test_bloom_bucketed_probe_matches_literal_probe(spark):

@@ -108,7 +108,9 @@ def write_landing(spark, sf_dir: str, landing: str, n_files: int) -> int:
     return n
 
 
-def run_ledger_mode(ladder_root: str, wanted: list[str]) -> None:
+def run_ledger_mode(
+    ladder_root: str, wanted: list[str], single_batch: bool = False
+) -> None:
     """`--ledger`: time the EXTERNAL-parquet-ledger sink
     (start_ledger_gated_fact_sink) draining each rung against a pre-seeded
     ledger, exact anti-join vs Bloom pre-gate per rung — the streaming twin
@@ -118,6 +120,14 @@ def run_ledger_mode(ladder_root: str, wanted: list[str]) -> None:
     live-key population instead of an empty table. Streamed survivors must
     equal the batch ledger_gate survivor count (same anchor) — the
     equivalence assert that keeps the throughput number honest.
+
+    ``single_batch=True`` writes 32 landing files (< maxFilesPerTrigger=64)
+    so the whole rung drains as ONE micro-batch — the knob that locates
+    where the Bloom pre-gate flips positive: its fixed per-batch costs
+    amortize over per-BATCH volume, so the 4-batch sf30 cells (7.5M
+    events/batch, pre-gate 3x slower) and the single-batch cells (whole
+    rung per batch) bracket the crossover. Results land under
+    "<rung>_single_batch".
 
     Results merge into SCALE_LADDER.json["streaming_ledger_gate"]."""
     import datetime as dt
@@ -148,7 +158,7 @@ def run_ledger_mode(ladder_root: str, wanted: list[str]) -> None:
         work = tempfile.mkdtemp(prefix=f"stream_ledger_{rung.replace('.', '_')}_")
         landing = os.path.join(work, "landing")
         try:
-            n_files = 256
+            n_files = 32 if single_batch else 256
             n_events = write_landing(spark, sf_dir, landing, n_files)
 
             # Seed ledger + batch-side expected survivor count, shared by
@@ -207,8 +217,10 @@ def run_ledger_mode(ladder_root: str, wanted: list[str]) -> None:
                     "wall_sec": round(wall, 3),
                     "events_per_sec": int(n_events / wall),
                 }
-            out[rung] = cell
-            print(f"{rung}: {cell}")
+            cell["micro_batches"] = math.ceil(n_files / 64)
+            key = f"{rung}_single_batch" if single_batch else rung
+            out[key] = cell
+            print(f"{key}: {cell}")
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
@@ -233,8 +245,13 @@ def main() -> None:
         argv.remove("--rocksdb")
     if "--ledger" in argv:
         argv.remove("--ledger")
+        single_batch = "--single-batch" in argv
+        if single_batch:
+            argv.remove("--single-batch")
         ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
-        run_ledger_mode(ladder_root, argv[1:] or list(RUNGS))
+        run_ledger_mode(
+            ladder_root, argv[1:] or list(RUNGS), single_batch=single_batch
+        )
         return
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     wanted = argv[1:] or list(RUNGS)
