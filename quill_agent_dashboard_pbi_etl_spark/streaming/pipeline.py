@@ -220,12 +220,17 @@ def start_ledger_gated_fact_sink(
         # unpinned Bloom path re-parsed ~30 GB of JSONL three times and ran
         # 744 s vs 330 s exact — lineage cost, not gate cost. The pin is
         # micro-batch-sized; blocks are released by the ContextCleaner when
-        # the batch's DataFrames go out of scope.
+        # the batch's DataFrames go out of scope. This is a PERF pin
+        # (correctness rides on the `claims` pin below), so it honors the
+        # session's `spark.graft.pin=none` escape hatch — at tiny SLA-paced
+        # triggers the eager checkpoint job is measurable overhead
+        # (~2 s/batch at 25k-event batches) while the lineage it saves is
+        # pennies.
         unique = pin(
             keep_first(
                 batch_df, ["EventID"], [F.col("EventTime"), F.col("Notes")]
             ),
-            required=True,
+            required=False,
         )
         with LedgerLock(ledger_path):
             try:
