@@ -265,15 +265,18 @@ def bloom_maybe_flag_bucketed(
     reachable through ``F.expr`` (only the column-API-inside-lambda form
     is not, per :func:`bloom_maybe_flag`'s docstring).
 
-    The ``num_hashes`` probe joins all broadcast the SAME subplan — the
-    bare ``(w, bits)`` word table, per-probe renames applied AFTER the
-    join — so Spark's exchange reuse (``ReuseExchange`` /
-    ``AQEPropagateEmptyRelation``-era ``ReusedExchange``) materializes ONE
-    broadcast and the other k−1 joins read it: broadcast traffic is 1×
-    the word table regardless of k, not k×. (An earlier shape aliased the
-    columns per probe INSIDE the broadcast, which de-canonicalized the
-    exchanges and shipped the identical table k times;
-    :func:`tests/test_dedup_gates` asserts the single-exchange plan.) The
+    The ``num_hashes`` probe joins all broadcast CANONICALLY-EQUAL
+    subplans — per-probe ``__``-prefixed aliases over the same
+    ``(w, bits)`` word table; plan canonicalization normalizes alias names
+    and expr ids away, so Spark's exchange reuse materializes ONE broadcast
+    and the other k−1 joins read it through ``ReusedExchange``: broadcast
+    traffic is 1× the word table regardless of k, not k×
+    (:func:`tests/test_dedup_gates` pins the single-exchange plan). The
+    per-probe scratch names are load-bearing for CORRECTNESS, not just
+    hygiene: bare ``w``/``bits`` names would silently drop a caller's own
+    ``w`` column and make a caller's ``bits`` ambiguous, and DataFrame-
+    qualified references fail Spark's ambiguous-self-join check once the
+    probe relation appears k times in one tree. The
     rejected alternative — explode the k probe positions to rows, join
     once, re-aggregate per event — needs a groupBy over k× the probed
     events plus a join back (two NEW shuffles of event-scale data, the
@@ -281,27 +284,40 @@ def bloom_maybe_flag_bucketed(
     counterfactual :func:`_bloom_maybe_exploded`.
     """
     num_bits = ((num_bits + 63) // 64) * 64
-    # One canonical broadcast subplan, reused by every probe join. Keep it
-    # byte-identical across iterations (no per-probe aliases) so exchange
-    # canonicalization sees k equal BroadcastExchanges and reuses the first.
-    probe = F.broadcast(words.select("w", "bits"))
+    # Per-probe __-prefixed scratch names INSIDE the broadcast select keep
+    # the operator collision-safe: a caller df that itself has `w`/`bits`
+    # columns is neither dropped nor made ambiguous (bare-name post-join
+    # references were both — Spark's ambiguous-self-join check rejects
+    # DataFrame-qualified refs once the probe relation appears k times in
+    # one tree). Exchange reuse is NOT sacrificed: plan canonicalization
+    # normalizes alias names and expr ids away, so the k BroadcastExchanges
+    # still canonicalize equal and AQE materializes ONE
+    # (tests/test_dedup_gates.py pins 1 materialized / k−1 ReusedExchange).
     out = df
     hit_cols: list[str] = []
     for i in range(num_hashes):
+        w_col, bits_col = f"__pw{i}", f"__pbits{i}"
+        probe = F.broadcast(
+            words.select(
+                F.col("w").alias(w_col), F.col("bits").alias(bits_col)
+            )
+        )
         out = out.withColumn(
             "__bpos",
             F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)),
         ).withColumn("__bw", (F.col("__bpos") / 64).cast("long"))
-        out = out.join(probe, on=out["__bw"] == probe["w"], how="left")
+        out = out.join(probe, on=out["__bw"] == probe[w_col], how="left")
         h_col = f"__bh{i}"
         hit_cols.append(h_col)
         out = out.withColumn(
             h_col,
             F.coalesce(
-                F.expr("(shiftright(bits, CAST(__bpos % 64 AS INT)) & 1) = 1"),
+                F.expr(
+                    f"(shiftright({bits_col}, CAST(__bpos % 64 AS INT)) & 1) = 1"
+                ),
                 F.lit(False),
             ),
-        ).drop("w", "bits", "__bw", "__bpos")
+        ).drop(w_col, bits_col, "__bw", "__bpos")
     maybe = F.col(hit_cols[0])
     for h in hit_cols[1:]:
         maybe = maybe & F.col(h)
@@ -359,6 +375,39 @@ def _bloom_maybe_exploded(
     return with_id.join(flags, on="__brow", how="left").drop("__brow")
 
 
+def probe_volume_estimate(df: DataFrame) -> int | None:
+    """Driver-side, job-free estimate of a DataFrame's input volume in
+    bytes, from Catalyst's optimized-plan statistics (file-relation sizes
+    after pruning). Returns None when the estimate is unavailable or
+    meaningless (Spark's sentinel for "unknown" is 8 EiB). Used by
+    ``ledger_gate_bloom(probe="auto")`` to pick the probe encoding without
+    spending a count job on the events side."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Catalyst reports defaultSizeInBytes (Long.MaxValue-ish) for plans it
+    # cannot size (pure streaming relations, some in-memory plans).
+    if size <= 0 or size >= (1 << 60):
+        return None
+    return size
+
+
+# probe="auto" forces the bucketed (word-table) encoding once the probed
+# events exceed this estimated input volume, even when the bitmap would fit
+# the plan literal. Derived from the measured extremes (SCALE_LADDER.json
+# ["ledger_gate_crossover"].sf100 / bloom_probe_shapes): at 50M probed
+# events x 7 hashes the literal probe's per-row conv(hex(substr)) CPU ran
+# 31-79 s vs 9.9 s for the codegen'd hash-join probe — a >3x per-row gap
+# that scales with probed volume, while the bucketed probe's only extra
+# fixed cost is one small broadcast build. The literal's zero-join setup
+# only wins when the probe side is small, so the threshold sits low
+# (~256 MiB of scanned input, single-digit-millions of rows at the ~100 B/
+# row of these tables): below it the fixed-cost difference is noise either
+# way; above it the literal's per-row CPU grows without bound.
+AUTO_BUCKETED_PROBE_BYTES = 256 << 20
+
+
 def ledger_gate_bloom(
     events: DataFrame,
     ledger: DataFrame,
@@ -367,6 +416,7 @@ def ledger_gate_bloom(
     num_bits: int = 1 << 16,
     num_hashes: int = 7,
     probe: str = "auto",
+    live: DataFrame | None = None,
 ) -> DataFrame:
     """D3 ledger gate with a Bloom pre-filter — EXACT same result as
     :func:`ledger_gate` (Bloom filters have no false negatives, and every
@@ -389,28 +439,58 @@ def ledger_gate_bloom(
     scale-safe instead of raising at the ~7M-key boundary the sf100 ladder
     rung measured (SCALE_LADDER.json ``ledger_gate_crossover.sf100``).
 
-    ``probe`` picks the probe encoding below the guard: ``"auto"``
-    (default) uses the plan-literal probe under ``MAX_BLOOM_LITERAL_BITS``
-    and the word table past it; ``"bucketed"`` forces the word table at
-    any sizing. Why a caller would force it: the literal probe's
-    ``conv(hex(substr))`` bit test costs real CPU PER PROBE, while the
-    bucketed probe is a codegen'd hash-join lookup — measured at sf100
-    (50M events × 7 hashes, identical 55.7 Mbit filter) the literal probe
-    ran 31–79 s vs 9.9 s bucketed. Rule of thumb: tens of millions of
-    probed events → force ``"bucketed"`` even when the bitmap would fit
-    the plan; few events against a big filter → the literal's zero-join
-    setup wins. The streaming ledger sink forces bucketed (its pre-gate
-    only pays off on huge batches by construction).
+    ``probe`` picks the probe encoding below the guard. The measured rule
+    (SCALE_LADDER.json): the literal probe's ``conv(hex(substr))`` bit test
+    costs real CPU PER PROBE, while the bucketed probe is a codegen'd
+    hash-join lookup — at sf100 (50M events × 7 hashes, identical 55.7 Mbit
+    filter) the literal probe ran 31–79 s vs 9.9 s bucketed; with few
+    probed events the literal's zero-join setup wins. ``"auto"`` (default)
+    applies that rule per call: it reads Catalyst's job-free input-size
+    estimate for ``events`` (:func:`probe_volume_estimate`) and forces the
+    word table past ``AUTO_BUCKETED_PROBE_BYTES`` (~256 MiB scanned input,
+    i.e. millions of rows) or past ``MAX_BLOOM_LITERAL_BITS``, using the
+    plan-literal probe only for small probe volumes under small filters.
+    When the estimate is unavailable (pure in-memory/streaming plans) auto
+    falls back to the bitmap-size guard alone. ``"bucketed"`` /
+    ``"literal"`` force the encoding (``"literal"`` still raises past the
+    plan-literal guard — that limit protects the driver, not performance);
+    the streaming ledger sink forces bucketed (its pre-gate only pays off
+    on huge batches by construction).
+
+    ``live`` (optional) is a precomputed TTL-filtered live-key DataFrame —
+    one column named ``key_col`` — replacing the internal
+    ``ledger.filter(expiresAt >= now)`` scan. Callers that already
+    materialize the live set for their own purposes (the streaming sink
+    counts it for Bloom sizing every micro-batch) pass it here so the
+    count, the word-table build, and the exact maybe-side re-check share
+    ONE materialization instead of re-scanning the ledger per consumer.
     """
-    if probe not in ("auto", "bucketed"):
-        raise ValueError(f"probe must be 'auto' or 'bucketed', got {probe!r}")
+    if probe not in ("auto", "bucketed", "literal"):
+        raise ValueError(
+            f"probe must be 'auto', 'bucketed' or 'literal', got {probe!r}"
+        )
     if now_epoch is None:
         now_epoch = int(time.time())
-    live = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
-        F.col("pk").alias(key_col)
-    )
+    if live is None:
+        live = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
+            F.col("pk").alias(key_col)
+        )
     rounded_bits = ((num_bits + 63) // 64) * 64
-    if probe == "bucketed" or rounded_bits > MAX_BLOOM_LITERAL_BITS:
+    if probe == "literal" and rounded_bits > MAX_BLOOM_LITERAL_BITS:
+        raise ValueError(
+            f"probe='literal' with num_bits={num_bits} exceeds "
+            f"MAX_BLOOM_LITERAL_BITS={MAX_BLOOM_LITERAL_BITS}; the literal "
+            "encoding ships the bitmap inside the serialized plan"
+        )
+    if probe == "auto":
+        est = probe_volume_estimate(events)
+        use_bucketed = (
+            rounded_bits > MAX_BLOOM_LITERAL_BITS
+            or (est is not None and est > AUTO_BUCKETED_PROBE_BYTES)
+        )
+    else:
+        use_bucketed = probe == "bucketed" or rounded_bits > MAX_BLOOM_LITERAL_BITS
+    if use_bucketed:
         # Beyond the plan-literal guard the bitmap stays distributed: word
         # table + broadcast-join probes (bloom_maybe_flag_bucketed). Same
         # filter, same no-false-negative contract, no driver densify.

@@ -246,6 +246,17 @@ def start_ledger_gated_fact_sink(
                 # ledger_gate_bloom), but only the duplicate+fpp sliver of
                 # the batch enters the anti-join shuffle. Sized from the
                 # live-key count at 1% fpp (bloom_build's formula).
+                #
+                # pin: the TTL-filtered live key set is consumed 3× on this
+                # path (the sizing count here, the word-table fold, and the
+                # maybe-side exact anti-join inside ledger_gate_bloom) —
+                # without it each consumer re-scans and re-filters the full
+                # ledger, doubling the per-batch fixed cost that already
+                # bounds the pre-gate's payoff regime. Passing the pinned
+                # frame through `live=` makes all three share one
+                # materialization. PERF pin (the gate is correct with full
+                # lineage), so it honors `spark.graft.pin=none`.
+                live = pin(live, required=False)
                 live_n = live.count()
                 num_bits = max(1 << 16, int(1.44 * live_n * math.log2(1 / 0.01)))
                 new_events = ledger_gate_bloom(
@@ -259,6 +270,7 @@ def start_ledger_gated_fact_sink(
                     # word-table probe here (measured: 31-79 s literal vs
                     # 9.9 s bucketed at 50M probes, identical filter).
                     probe="bucketed",
+                    live=live,
                 )
             else:
                 new_events = unique.join(live, "EventID", "left_anti")

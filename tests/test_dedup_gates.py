@@ -338,6 +338,16 @@ def test_bloom_bucketed_probe_single_broadcast_materialization(spark):
     k = 7
     out = dedup.bloom_maybe_flag_bucketed(probe, words, nbits, "pk", num_hashes=k)
     out.collect()  # AQE: reuse is decided at runtime; audit the FINAL plan
+    # VERSION-SENSITIVITY NOTE (tools/plan_audit.py lesson): under AQE a
+    # DataFrame's own queryExecution().executedPlan() is a DERIVED execution
+    # — .collect() runs its own QueryExecution. This works here because the
+    # collect-first ordering populates the AQE final plan on this exact
+    # QueryExecution and the "== Initial Plan ==" split drops the pre-reuse
+    # text, and it passes on Spark 4.1 — but the toString layout is not a
+    # stable API across minor versions. If this assertion ever breaks on a
+    # Spark upgrade, port it to the UI REST SQL endpoint's final executed
+    # plan (the approach tools/plan_audit.py and probe_weak_scaling.py
+    # already use), which reports the plan that actually ran.
     plan = (
         out._jdf.queryExecution()
         .executedPlan()
@@ -427,6 +437,142 @@ def test_ledger_gate_bloom_beyond_guard_dispatches_and_matches(
     }
     assert bloomed == exact
     assert len(exact) == 150
+
+
+def test_bloom_bucketed_probe_preserves_caller_w_bits_columns(spark):
+    """Regression (r9 ADVICE): the word-table probe's scratch columns were
+    briefly bare `w`/`bits`, so a caller df with its own `w` column lost it
+    silently and a caller `bits` column failed analysis. The probe must
+    treat those as ordinary user columns: values intact, flags unchanged."""
+    keys = spark.createDataFrame([(f"K:{i}",) for i in range(100)], "pk string")
+    nbits = 1 << 13
+    words = dedup.bloom_words(keys, "pk", num_bits=nbits)
+    probe = spark.createDataFrame(
+        [(f"K:{i}", i, i * 10) for i in range(50)]
+        + [(f"Z:{i}", -i, -i * 10) for i in range(50)],
+        "pk string, w int, bits long",
+    )
+    out = dedup.bloom_maybe_flag_bucketed(probe, words, nbits, "pk").collect()
+    assert len(out) == 100
+    for r in out:
+        # caller columns survive with their values
+        if r.pk.startswith("K:"):
+            i = int(r.pk[2:])
+            assert (r.w, r.bits) == (i, i * 10)
+            assert r["__bloom_maybe"] is True  # member keys always flag
+        else:
+            i = int(r.pk[2:])
+            assert (r.w, r.bits) == (-i, -i * 10)
+
+
+def test_ledger_gate_bloom_probe_auto_dispatches_on_volume(
+    spark, monkeypatch, tmp_path
+):
+    """probe="auto" must pick the encoding from the PROBE VOLUME, not only
+    the bitmap size: a small in-memory batch keeps the zero-join literal
+    probe; a file-backed events side whose Catalyst input-size estimate
+    exceeds AUTO_BUCKETED_PROBE_BYTES dispatches to the word-table probe
+    even though the bitmap fits the plan literal. (Threshold shrunk so the
+    dispatch runs on test-sized data; the threshold VALUE itself comes from
+    the sf100 literal-vs-bucketed measurement in SCALE_LADDER.json.)"""
+    calls: list[str] = []
+    real_bucketed = dedup.bloom_maybe_flag_bucketed
+    real_literal = dedup.bloom_maybe_flag
+
+    def spy_bucketed(*a, **kw):
+        calls.append("bucketed")
+        return real_bucketed(*a, **kw)
+
+    def spy_literal(*a, **kw):
+        calls.append("literal")
+        return real_literal(*a, **kw)
+
+    monkeypatch.setattr(dedup, "bloom_maybe_flag_bucketed", spy_bucketed)
+    monkeypatch.setattr(dedup, "bloom_maybe_flag", spy_literal)
+
+    now = 1705320000
+    events = spark.createDataFrame(
+        [(f"E:{i}",) for i in range(100)], "dedup_key string"
+    )
+    ledger = spark.createDataFrame(
+        [(f"E:{i}", dt.datetime(2024, 1, 10), now + 1000) for i in range(30)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    # small probe volume, small filter -> literal
+    out = dedup.ledger_gate_bloom(events, ledger, now_epoch=now, probe="auto")
+    assert out.count() == 70
+    assert calls == ["literal"]
+
+    # file-backed events past the (shrunk) volume threshold -> bucketed
+    calls.clear()
+    pq = str(tmp_path / "events_pq")
+    events.write.parquet(pq)
+    big = spark.read.parquet(pq)
+    est = dedup.probe_volume_estimate(big)
+    assert est is not None and est > 0  # parquet scans are sizeable
+    monkeypatch.setattr(dedup, "AUTO_BUCKETED_PROBE_BYTES", est - 1)
+    out2 = dedup.ledger_gate_bloom(big, ledger, now_epoch=now, probe="auto")
+    assert out2.count() == 70
+    assert calls == ["bucketed"]
+
+
+def test_ledger_gate_bloom_probe_literal_forced_and_guarded(
+    spark, monkeypatch
+):
+    """probe="literal" forces the plan-literal encoding regardless of the
+    volume heuristic, but must still refuse sizings past
+    MAX_BLOOM_LITERAL_BITS — that guard protects the driver (the literal
+    ships the whole bitmap in the serialized plan), not performance."""
+    import pytest
+
+    now = 1705320000
+    events = spark.createDataFrame(
+        [(f"E:{i}",) for i in range(50)], "dedup_key string"
+    )
+    ledger = spark.createDataFrame(
+        [(f"E:{i}", dt.datetime(2024, 1, 10), now + 1000) for i in range(10)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    # forcing literal under a tiny volume threshold must NOT dispatch bucketed
+    monkeypatch.setattr(dedup, "AUTO_BUCKETED_PROBE_BYTES", 0)
+    out = dedup.ledger_gate_bloom(events, ledger, now_epoch=now, probe="literal")
+    assert out.count() == 40
+    monkeypatch.setattr(dedup, "MAX_BLOOM_LITERAL_BITS", 1 << 10)
+    with pytest.raises(ValueError, match="MAX_BLOOM_LITERAL_BITS"):
+        dedup.ledger_gate_bloom(
+            events, ledger, now_epoch=now, num_bits=1 << 16, probe="literal"
+        )
+
+
+def test_ledger_gate_bloom_accepts_precomputed_live(spark):
+    """The streaming sink materializes the TTL-filtered live key set once
+    per micro-batch (sizing count); passing it through `live=` must yield
+    the exact same survivors as the internal ledger scan — including NOT
+    re-applying the TTL filter (the caller already did)."""
+    now = 1705320000
+    events = spark.createDataFrame(
+        [(f"E:{i}",) for i in range(100)], "dedup_key string"
+    )
+    ledger = spark.createDataFrame(
+        [(f"E:{i}", dt.datetime(2024, 1, 10), now + 1000) for i in range(30)]
+        + [(f"E:{i}", dt.datetime(2023, 12, 1), now - 1000) for i in range(30, 40)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    internal = {
+        r.dedup_key
+        for r in dedup.ledger_gate_bloom(events, ledger, now_epoch=now).collect()
+    }
+    live = ledger.filter(F.col("expiresAt") >= F.lit(now)).select(
+        F.col("pk").alias("dedup_key")
+    )
+    passed = {
+        r.dedup_key
+        for r in dedup.ledger_gate_bloom(
+            events, ledger, now_epoch=now, live=live
+        ).collect()
+    }
+    assert passed == internal
+    assert len(passed) == 70  # expired 30-39 readmitted
 
 
 def test_merge_capable_rejects_non_merge_table_provider(spark, tmp_path):

@@ -242,6 +242,20 @@ def main() -> None:
                             "(re-measure failed)",
                             file=sys.stderr,
                         )
+                        # Persist the staleness IN the JSON, not only on
+                        # stderr: a rung that now genuinely regresses to
+                        # failure must not masquerade as the old good
+                        # number. Readers see both the kept value and the
+                        # marker.
+                        out.setdefault("stale_cells", []).append(
+                            {
+                                "section": section,
+                                "query": q,
+                                "rung": rung,
+                                "kept_prior": prior,
+                                "note": "re-measure failed (-1); prior cell retained",
+                            }
+                        )
                         continue
                     tgt[rung] = val
             out[section] = merged
