@@ -442,6 +442,9 @@ def main() -> None:
         i = argv.index("--cells")
         cell_filter = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
+    sf100 = "--sf100" in argv
+    if sf100:
+        argv.remove("--sf100")
     ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
     _run_plan.root = ladder_root
 
@@ -451,6 +454,12 @@ def main() -> None:
         ("weak_scaled_sf30_3exec", "sf30", _master(3)),
         ("control_sf30_1exec", "sf30", _master(1)),
     ]
+    if sf100:
+        # The decade the r9 crossover rule extrapolates past: 50M state keys
+        # on 3 real 14g executors (~17M live keys per executor). The r9
+        # cells stop at sf30/14M total; this cell either confirms the ~4x
+        # per-executor crossover shift or bounds it.
+        plan.append(("sf100_3exec", "sf100", _master(3)))
 
     if mode == "ledger":
         cells = _run_plan(
