@@ -189,12 +189,20 @@ def start_ledger_gated_fact_sink(
     event tests it scan-side, and only the maybes (true duplicates + fpp
     sliver) enter the exact anti-join — same result by construction (no
     false negatives; every maybe re-checks exactly), so claims, tags, and
-    crash recovery are untouched. Worth it once the live ledger is large
-    enough that the per-batch anti-join stops broadcasting (the batch
-    ladder crossed at ~5.8M live keys, SCALE_LADDER.json
-    ``ledger_gate_crossover.sf100``); below that the extra live-count job
-    per micro-batch is pure overhead, hence the flag rather than a default.
-    Past ``MAX_BLOOM_LITERAL_BITS`` the sizing auto-dispatches to the
+    crash recovery are untouched. Measured regime (the r10 flip-point grid,
+    SCALE_LADDER.json ``streaming_ledger_gate.flip_point`` — per-batch
+    volume and live-ledger size decoupled, min-of-2 with alternated order):
+    enable ONLY when BOTH hold — the TTL-live ledger no longer broadcasts
+    (millions of keys at default thresholds; the batch ladder crossed at
+    ~5.8M) AND micro-batches carry tens of millions of events (flips
+    positive between 30M and 60M events/batch at the 5.8M-key decade,
+    0.60× at 60M). Under a broadcastable ledger the probe pass is pure
+    added CPU that grows with volume (2.05× loss at 100M events); at small
+    SLA-paced triggers the per-batch fixed costs dominate (2× at sf0.1) —
+    hence the flag rather than a default. Its cluster-side value is
+    unconditional on batch size past the broadcast cliff: the anti-join
+    shuffle volume cut holds ~8× per batch. Past
+    ``MAX_BLOOM_LITERAL_BITS`` the sizing auto-dispatches to the
     distributed word-table probe exactly like the batch operator.
     """
     import math

@@ -344,7 +344,14 @@ def run_flip_mode(
                     "expected_survivors": expected,
                     "micro_batches": 1,
                 }
-                for label, flag in (("exact", False), ("bloom_pregate", True)):
+                # FLIP_ORDER=reversed runs bloom before exact — the second
+                # pass of a min-of-2 sweep alternates within-cell order so
+                # page-cache warm-up doesn't systematically favor whichever
+                # strategy runs second.
+                strategies = [("exact", False), ("bloom_pregate", True)]
+                if os.environ.get("FLIP_ORDER") == "reversed":
+                    strategies.reverse()
+                for label, flag in strategies:
                     ledger_path = os.path.join(work, f"ledger_{label}")
                     sink = os.path.join(work, f"out_{label}")
                     seed_df.write.mode("overwrite").parquet(ledger_path)

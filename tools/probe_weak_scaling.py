@@ -474,8 +474,15 @@ def main() -> None:
 
     if mode == "streaming":
         # prep each rung's landing JSONL once (local[32], untimed), shared
-        # by every cell of that rung across both backends.
-        for rung in sorted({r for _, r, _ in plan}):
+        # by every cell of that rung across both backends. Respect --cells:
+        # a filtered run must not spend 10+ minutes encoding landings for
+        # rungs whose cells it will skip.
+        active = [
+            (label, r)
+            for label, r, _ in plan
+            if cell_filter is None or label in cell_filter
+        ]
+        for rung in sorted({r for _, r in active}):
             sf_dir = os.path.join(ladder_root, rung)
             landing = _landing_dir(sf_dir)
             if os.path.isdir(sf_dir) and not os.path.isdir(landing):
