@@ -395,17 +395,19 @@ def probe_volume_estimate(df: DataFrame) -> int | None:
 
 # probe="auto" forces the bucketed (word-table) encoding once the probed
 # events exceed this estimated input volume, even when the bitmap would fit
-# the plan literal. Derived from the measured extremes (SCALE_LADDER.json
-# ["ledger_gate_crossover"].sf100 / bloom_probe_shapes): at 50M probed
-# events x 7 hashes the literal probe's per-row conv(hex(substr)) CPU ran
-# 31-79 s vs 9.9 s for the codegen'd hash-join probe — a >3x per-row gap
-# that scales with probed volume, while the bucketed probe's only extra
-# fixed cost is one small broadcast build. The literal's zero-join setup
-# only wins when the probe side is small, so the threshold sits low
-# (~256 MiB of scanned input, single-digit-millions of rows at the ~100 B/
-# row of these tables): below it the fixed-cost difference is noise either
-# way; above it the literal's per-row CPU grows without bound.
-AUTO_BUCKETED_PROBE_BYTES = 256 << 20
+# the plan literal. De-confounded pricing (SCALE_LADDER.json
+# ["bloom_probe_auto"]: fresh JVM per cell, alternated order, min-of-2)
+# showed the bucketed probe winning BOTH measured extremes — 4.2 vs 5.0 s
+# at 0.5M probed events / 29 MiB scanned (sf1), 53.7 vs 90.1 s at 50M /
+# 2.9 GiB (sf100): the literal's per-row conv(hex(substr)) bit test costs
+# more CPU than the codegen'd hash-join lookup already at half a million
+# rows, and the gap grows without bound with probed volume. The r9
+# assumption that the literal's zero-join setup wins "when the probe side
+# is small" is REFUTED down to 29 MiB, so the threshold sits below that
+# measured win (16 MiB): under it — and when Catalyst can't size the plan
+# at all — the gate is sub-second fixed-cost territory where the literal's
+# simpler zero-join plan is kept for debuggability, not speed.
+AUTO_BUCKETED_PROBE_BYTES = 16 << 20
 
 
 def ledger_gate_bloom(
@@ -440,16 +442,18 @@ def ledger_gate_bloom(
     rung measured (SCALE_LADDER.json ``ledger_gate_crossover.sf100``).
 
     ``probe`` picks the probe encoding below the guard. The measured rule
-    (SCALE_LADDER.json): the literal probe's ``conv(hex(substr))`` bit test
-    costs real CPU PER PROBE, while the bucketed probe is a codegen'd
-    hash-join lookup — at sf100 (50M events × 7 hashes, identical 55.7 Mbit
-    filter) the literal probe ran 31–79 s vs 9.9 s bucketed; with few
-    probed events the literal's zero-join setup wins. ``"auto"`` (default)
-    applies that rule per call: it reads Catalyst's job-free input-size
-    estimate for ``events`` (:func:`probe_volume_estimate`) and forces the
-    word table past ``AUTO_BUCKETED_PROBE_BYTES`` (~256 MiB scanned input,
-    i.e. millions of rows) or past ``MAX_BLOOM_LITERAL_BITS``, using the
-    plan-literal probe only for small probe volumes under small filters.
+    (SCALE_LADDER.json ``bloom_probe_auto``, fresh-JVM min-of-2 cells): the
+    literal probe's ``conv(hex(substr))`` bit test costs real CPU PER
+    PROBE, while the bucketed probe is a codegen'd hash-join lookup — the
+    bucketed encoding won BOTH measured extremes (4.2 vs 5.0 s at 0.5M
+    probed events, 53.7 vs 90.1 s at 50M, identical survivors). ``"auto"``
+    (default) applies that rule per call: it reads Catalyst's job-free
+    input-size estimate for ``events`` (:func:`probe_volume_estimate`) and
+    forces the word table past ``AUTO_BUCKETED_PROBE_BYTES`` (16 MiB
+    scanned input — below the smallest measured bucketed win) or past
+    ``MAX_BLOOM_LITERAL_BITS``, keeping the plan-literal probe only for
+    tiny or Catalyst-unsizable probe volumes under small filters, where
+    the gate is sub-second either way and the zero-join plan is simpler.
     When the estimate is unavailable (pure in-memory/streaming plans) auto
     falls back to the bitmap-size guard alone. ``"bucketed"`` /
     ``"literal"`` force the encoding (``"literal"`` still raises past the

@@ -10,14 +10,26 @@ dispatch on Catalyst's job-free input-size estimate
 the two extremes and records WHICH encoding auto chose, so "auto matches the
 better shape" is a measurement, not the threshold's docstring.
 
-Per rung (sf1 = small extreme, sf100 = large): pin fact + ledger, size the
-filter at 1% fpp from the live count, then time the full gate with
-probe="literal", probe="bucketed", probe="auto", survivors asserted equal.
-auto's choice is recorded from the same estimate the operator reads.
+Measurement shape: one FRESH JVM per cell (a first same-process sequential
+run showed intra-JVM degradation swamping the effect — the bucketed plan run
+as the third gate of a process cost 2.2x the same plan run second), settings
+interleaved in alternating order across two rounds so ambient drift and
+page-cache warm-up hit every setting from both ends, min-of-2 per setting,
+survivors asserted equal across every cell of a rung. Inside each child the
+fact is pinned before the timer, but the timed gate consumes the UNPINNED
+parquet-backed plan — probe="auto" must read the same Catalyst file-scan
+estimate a real caller's events side carries (pinned RDDs report no file
+statistics), and the identical input plan keeps the scan cost equal across
+settings; the pin only pre-warms the page cache equally for all cells.
 
-Results → SCALE_LADDER.json["bloom_probe_auto"].
+Results → SCALE_LADDER.json["bloom_probe_auto"], per rung:
+cells "<setting>_r<round>" with an "ordering" index, plus a summary with
+min-of-2 walls, auto's recorded choice, and auto_matches_better.
 
-Usage: SPARK_GRAFT_DRIVER_MEM=64g python tools/probe_auto_dispatch.py [ladder_root]
+Usage:
+    SPARK_GRAFT_DRIVER_MEM=64g python tools/probe_auto_dispatch.py \
+        [--rungs sf1,sf100] [ladder_root]
+    # child mode (internal): --cell <setting> <sf_dir>
 """
 
 from __future__ import annotations
@@ -26,117 +38,197 @@ import datetime as dt
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F
-
-from quill_agent_dashboard_pbi_etl_spark.operators import dedup
-from quill_agent_dashboard_pbi_etl_spark.operators.materialize import pin
-from quill_agent_dashboard_pbi_etl_spark.plans.registry import (
-    NOW_ANCHOR,
-    normalized_fact,
-)
-from quill_agent_dashboard_pbi_etl_spark.session import get_spark
+RUNGS = ("sf1", "sf100")
+SETTINGS = ("literal", "bucketed", "auto")
 
 
-def _noop(df) -> None:
-    df.write.mode("overwrite").format("noop").save()
+def run_cell(setting: str, sf_dir: str) -> None:
+    """Child: one setting, one fresh JVM, pinned warm-up, timed gate."""
+    from pyspark.sql import functions as F
 
+    from quill_agent_dashboard_pbi_etl_spark.operators import dedup
+    from quill_agent_dashboard_pbi_etl_spark.operators.materialize import pin
+    from quill_agent_dashboard_pbi_etl_spark.plans.registry import (
+        NOW_ANCHOR,
+        normalized_fact,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.session import get_spark
 
-def main() -> None:
-    ladder_root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scale_ladder"
     now_epoch = int(
         dt.datetime.strptime(NOW_ANCHOR, "%Y-%m-%d %H:%M:%S")
         .replace(tzinfo=dt.timezone.utc)
         .timestamp()
     )
-    spark = get_spark(app_name="probe-auto-dispatch")
+    spark = get_spark(app_name=f"auto-dispatch-{setting}")
     spark.sparkContext.setLogLevel("ERROR")
 
+    raw_fact = normalized_fact(spark, sf_dir).withColumnRenamed(
+        "EventID", "dedup_key"
+    )
+    est = dedup.probe_volume_estimate(raw_fact)
+    # Pin to warm the page cache / JIT equally for every cell, then time the
+    # gate on the UNPINNED plan (see module docstring).
+    fact = pin(raw_fact, required=True)
+    ledger = pin(
+        fact.filter(
+            F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
+        ).select(
+            F.col("dedup_key").alias("pk"),
+            F.col("EventTime").alias("seenAt"),
+            (F.unix_timestamp("EventTime") + 14 * 86400).alias("expiresAt"),
+        ),
+        required=True,
+    )
+    live_n = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).count()
+    num_bits = max(1 << 16, int(1.44 * live_n * math.log2(1 / 0.01)))
+    auto_choice = (
+        "bucketed"
+        if ((num_bits + 63) // 64) * 64 > dedup.MAX_BLOOM_LITERAL_BITS
+        or (est is not None and est > dedup.AUTO_BUCKETED_PROBE_BYTES)
+        else "literal"
+    )
+
+    t0 = time.perf_counter()
+    gated = dedup.ledger_gate_bloom(
+        raw_fact,
+        ledger,
+        key_col="dedup_key",
+        now_epoch=now_epoch,
+        num_bits=num_bits,
+        probe=setting,
+    )
+    gated.write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "setting": setting,
+                "wall_sec": round(wall, 3),
+                "survivors": gated.count(),
+                "events": fact.count(),
+                "live_keys": live_n,
+                "bloom_mbits": round(num_bits / 1e6, 1),
+                "estimated_probe_bytes": est,
+                "auto_threshold_bytes": dedup.AUTO_BUCKETED_PROBE_BYTES,
+                "auto_choice": auto_choice,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cell":
+        run_cell(sys.argv[2], sys.argv[3])
+        return
+    argv = sys.argv[1:]
+    rungs = RUNGS
+    if "--rungs" in argv:
+        i = argv.index("--rungs")
+        rungs = tuple(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    ladder_root = argv[0] if argv else "/root/repo/scale_ladder"
+
     out: dict[str, dict] = {}
-    for rung in ("sf1", "sf100"):
+    for rung in rungs:
         sf_dir = os.path.join(ladder_root, rung)
         if not os.path.isdir(sf_dir):
             print(f"skip {rung}: missing", file=sys.stderr)
             continue
-        # The volume signal must see what a caller's events side looks like:
-        # the parquet-backed scan BEFORE the pin (pinned RDDs carry no file
-        # statistics). Estimate read on the unpinned plan, gate timed on the
-        # pinned fact — matching how the streaming sink meets the operator
-        # (file-source micro-batch, then pinned).
-        raw_fact = normalized_fact(spark, sf_dir).withColumnRenamed(
-            "EventID", "dedup_key"
-        )
-        est = dedup.probe_volume_estimate(raw_fact)
-        fact = pin(raw_fact, required=True)
-        ledger = pin(
-            fact.filter(
-                F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
-            ).select(
-                F.col("dedup_key").alias("pk"),
-                F.col("EventTime").alias("seenAt"),
-                (F.unix_timestamp("EventTime") + 14 * 86400).alias("expiresAt"),
-            ),
-            required=True,
-        )
-        live_n = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).count()
-        num_bits = max(1 << 16, int(1.44 * live_n * math.log2(1 / 0.01)))
-        auto_choice = (
-            "bucketed"
-            if ((num_bits + 63) // 64) * 64 > dedup.MAX_BLOOM_LITERAL_BITS
-            or (est is not None and est > dedup.AUTO_BUCKETED_PROBE_BYTES)
-            else "literal"
-        )
-
-        cell: dict = {
-            "events": fact.count(),
-            "live_keys": live_n,
-            "bloom_mbits": round(num_bits / 1e6, 1),
-            "estimated_probe_bytes": est,
-            "auto_threshold_bytes": dedup.AUTO_BUCKETED_PROBE_BYTES,
-            "auto_choice": auto_choice,
-        }
-        survivors = set()
-        # The timed gates use the UNPINNED fact for auto (so the operator
-        # reads the same file-scan estimate recorded above) and for the
-        # forced settings (identical input plan = identical scan cost — the
-        # pin above only warms the page cache equally for all three).
-        for setting in ("literal", "bucketed", "auto"):
-            t0 = time.perf_counter()
-            gated = dedup.ledger_gate_bloom(
-                raw_fact,
-                ledger,
-                key_col="dedup_key",
-                now_epoch=now_epoch,
-                num_bits=num_bits,
-                probe=setting,
+        # Alternating order across rounds: pass 1 literal→bucketed→auto,
+        # pass 2 reversed.
+        order = [(s, 1) for s in SETTINGS] + [(s, 2) for s in reversed(SETTINGS)]
+        cells: dict[str, dict] = {}
+        for idx, (setting, rnd) in enumerate(order):
+            print(f"=== {rung} cell {idx}: {setting} round {rnd} ===", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cell", setting, sf_dir],
+                capture_output=True,
+                text=True,
+                env=dict(os.environ),
+                timeout=7200,
             )
-            _noop(gated)
-            cell[f"{setting}_sec"] = round(time.perf_counter() - t0, 3)
-            survivors.add(gated.count())
-        assert len(survivors) == 1, (rung, survivors)
-        cell["survivors"] = survivors.pop()
-        better = "literal" if cell["literal_sec"] <= cell["bucketed_sec"] else "bucketed"
-        cell["measured_better"] = better
-        cell["auto_matches_better"] = auto_choice == better
-        out[rung] = cell
-        print(f"{rung}: {json.dumps(cell)}", flush=True)
+            key = f"{setting}_r{rnd}"
+            if proc.returncode != 0:
+                print(proc.stderr[-3000:], file=sys.stderr)
+                cells[key] = {
+                    "error": proc.stderr.strip().splitlines()[-1][-300:]
+                    if proc.stderr.strip()
+                    else f"exit {proc.returncode}",
+                    "ordering": idx,
+                }
+                continue
+            try:
+                cell = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (IndexError, json.JSONDecodeError) as exc:
+                cells[key] = {
+                    "error": f"unparseable child stdout ({exc})",
+                    "ordering": idx,
+                }
+                continue
+            cell["ordering"] = idx
+            cells[key] = cell
+            print(json.dumps(cell), file=sys.stderr)
+            out[rung] = {"cells": cells}
+            _persist(out)  # survive a mid-plan kill
 
+        survivor_counts = {
+            c["survivors"] for c in cells.values() if "survivors" in c
+        }
+        assert len(survivor_counts) <= 1, f"{rung} survivor mismatch: {cells}"
+
+        summary: dict = {}
+        for setting in SETTINGS:
+            walls = [
+                c["wall_sec"]
+                for k, c in cells.items()
+                if k.startswith(setting) and "wall_sec" in c
+            ]
+            if walls:
+                summary[f"{setting}_min_sec"] = min(walls)
+                summary[f"{setting}_walls"] = walls
+        choices = {
+            c["auto_choice"] for c in cells.values() if "auto_choice" in c
+        }
+        if choices:
+            assert len(choices) == 1, f"{rung} auto_choice unstable: {cells}"
+            summary["auto_choice"] = choices.pop()
+        if "literal_min_sec" in summary and "bucketed_min_sec" in summary:
+            better = (
+                "literal"
+                if summary["literal_min_sec"] <= summary["bucketed_min_sec"]
+                else "bucketed"
+            )
+            summary["measured_better"] = better
+            summary["auto_matches_better"] = summary.get("auto_choice") == better
+        out[rung] = {"cells": cells, "summary": summary}
+        _persist(out)
+        print(f"{rung}: {json.dumps(summary)}", flush=True)
+
+    print(json.dumps(out, indent=1))
+
+
+def _persist(out: dict) -> None:
     path = "/root/repo/SCALE_LADDER.json"
     data = json.load(open(path)) if os.path.exists(path) else {}
-    data.setdefault("bloom_probe_auto", {}).update(out)
-    data["bloom_probe_auto"]["note"] = (
+    node = data.setdefault("bloom_probe_auto", {})
+    node.update(out)
+    node["note"] = (
         "ledger_gate_bloom probe=literal/bucketed/auto priced at both volume "
-        "extremes on pinned inputs, same-process sequential cells; "
+        "extremes: one fresh JVM per cell, settings interleaved in "
+        "alternating order across two rounds (ordering field = execution "
+        "position), min-of-2 per setting, survivors asserted equal per rung; "
         "auto_choice recorded from the operator's own Catalyst input-size "
-        "estimate."
+        "estimate inside the child. Timed gates consume the unpinned "
+        "parquet plan so auto reads a real caller's file-scan statistics."
     )
     json.dump(data, open(path, "w"), indent=1)
-    print(json.dumps(out, indent=1))
-    spark.stop()
 
 
 if __name__ == "__main__":
