@@ -198,10 +198,21 @@ def run_ledger_cell(master: str, sf_dir: str) -> None:
         .replace(tzinfo=dt.timezone.utc)
         .timestamp()
     )
-    fact = pin(
-        normalized_fact(spark, sf_dir).withColumnRenamed("EventID", "dedup_key"),
-        required=True,
+    raw_fact = normalized_fact(spark, sf_dir).withColumnRenamed(
+        "EventID", "dedup_key"
     )
+    # The pin below erases file statistics, so probe="auto" inside the gate
+    # would see no volume estimate and fall back to the bitmap-size guard
+    # (→ literal at these rungs). A real caller's events side is
+    # file-backed; resolve the choice auto WOULD make on the unpinned plan
+    # and pass it explicitly so the cell measures the production encoding.
+    est = dedup.probe_volume_estimate(raw_fact)
+    probe_choice = (
+        "bucketed"
+        if est is not None and est > dedup.AUTO_BUCKETED_PROBE_BYTES
+        else "auto"
+    )
+    fact = pin(raw_fact, required=True)
     ledger = pin(
         fact.filter(
             F.col("EventTime") < F.lit("2024-01-10 00:00:00").cast("timestamp")
@@ -223,7 +234,12 @@ def run_ledger_cell(master: str, sf_dir: str) -> None:
     live_n = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).count()
     num_bits = max(1 << 16, int(1.44 * live_n * math.log2(1 / 0.01)))
     bloom = dedup.ledger_gate_bloom(
-        fact, ledger, key_col="dedup_key", now_epoch=now_epoch, num_bits=num_bits
+        fact,
+        ledger,
+        key_col="dedup_key",
+        now_epoch=now_epoch,
+        num_bits=num_bits,
+        probe=probe_choice,
     )
     bloom.write.mode("overwrite").format("noop").save()
     bloom_sec = round(time.perf_counter() - t0, 3)
@@ -241,6 +257,7 @@ def run_ledger_cell(master: str, sf_dir: str) -> None:
             "live_keys": live_n,
             "bloom_mbits": round(num_bits / 1e6, 1),
             "survivors": n_exact,
+            "bloom_probe": probe_choice,
             "exact_join_nodes": exact_joins,
             "bloom_join_nodes": bloom_joins,
         }
