@@ -124,6 +124,64 @@ def start_fact_sink(
     return writer.start()
 
 
+# bloom_pregate="auto" enables the per-batch Bloom pre-gate only when the
+# micro-batch carries at least this many (deduped) events. From the r10
+# flip-point grid (SCALE_LADDER.json streaming_ledger_gate.flip_point,
+# min-of-2 with alternated order): at the past-broadcast 5.8M-key decade
+# the pre-gate loses 1.66x at 30M events/batch and wins 0.60x at 60M —
+# the floor sits between the measured loss and the measured win. Batches
+# this large are replay/backfill drains by construction; SLA-paced
+# triggers never reach it and stay on the plain anti-join.
+PREGATE_AUTO_MIN_BATCH_ROWS = 50_000_000
+
+
+def _parse_spark_bytes(value: str) -> int | None:
+    """Parse a Spark byte-size conf string ("10MB", "10485760b", "-1").
+    Returns None when unparseable."""
+    v = value.strip().lower()
+    try:
+        mult = 1
+        for suffix, m in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+            ("b", 1),
+        ):
+            if v.endswith(suffix):
+                v, mult = v[: -len(suffix)], m
+                break
+        return int(v) * mult
+    except ValueError:
+        return None
+
+
+def should_bloom_pregate(
+    live_est_bytes: int | None,
+    broadcast_threshold_bytes: int | None,
+    batch_rows: int,
+    min_batch_rows: int | None = None,
+) -> bool:
+    """The measured pre-gate rule as a pure predicate: enable only when the
+    planner would NOT broadcast the live ledger (its plan-size estimate
+    exceeds the session's autoBroadcastJoinThreshold — the SAME signal the
+    planner reads, so "no longer broadcasts" is judged exactly as the
+    planner judges it; threshold <= 0 means broadcast is disabled, which
+    counts as not-broadcastable) AND the micro-batch is a huge drain
+    (>= min_batch_rows, default ``PREGATE_AUTO_MIN_BATCH_ROWS`` read at
+    call time so tests can lower the floor). Unknown live estimate ->
+    False (a pure in-memory ledger bootstrap is tiny and would
+    broadcast)."""
+    if min_batch_rows is None:
+        min_batch_rows = PREGATE_AUTO_MIN_BATCH_ROWS
+    if live_est_bytes is None:
+        return False
+    past_broadcast = (
+        broadcast_threshold_bytes is None
+        or broadcast_threshold_bytes <= 0
+        or live_est_bytes > broadcast_threshold_bytes
+    )
+    return past_broadcast and batch_rows >= min_batch_rows
+
+
 def start_ledger_gated_fact_sink(
     fact_stream: DataFrame,
     ledger_path: str,
@@ -134,7 +192,7 @@ def start_ledger_gated_fact_sink(
     available_now: bool = False,
     now_epoch: int | None = None,
     storage: StateStorage | None = None,
-    bloom_pregate: bool = False,
+    bloom_pregate: bool | str = False,
 ) -> StreamingQuery:
     """K4 under streaming: per-micro-batch atomic ledger gate+mark against an
     EXTERNAL parquet ledger (the reference's DynamoDB cycle verbatim,
@@ -182,6 +240,19 @@ def start_ledger_gated_fact_sink(
     readers of ``output_dir`` see ``gen``/``batch_id`` as partition columns
     — do not mix differently-laid-out data in one output root.
 
+    ``bloom_pregate="auto"`` applies the measured regime rule per
+    micro-batch instead of asking the deployer to evaluate it:
+    :func:`should_bloom_pregate` enables the pre-gate only when the live
+    ledger's Catalyst plan-size estimate exceeds the session's
+    ``autoBroadcastJoinThreshold`` (the exact signal the planner uses to
+    stop broadcasting the anti-join's build side — so "no longer
+    broadcasts" is judged as the planner judges it, with no extra job) AND
+    the deduped micro-batch carries >= ``PREGATE_AUTO_MIN_BATCH_ROWS``
+    events (one count job over the already-pinned batch). Small SLA-paced
+    triggers and broadcastable ledgers stay on the plain anti-join; huge
+    replay/backfill drains against a grown ledger get the pre-gate, per
+    batch, as the stream's regime shifts.
+
     ``bloom_pregate=True`` runs the batch Bloom pre-gate
     (:func:`..operators.dedup.ledger_gate_bloom`) in place of the plain
     anti-join inside each micro-batch: the TTL-live ledger folds into a
@@ -207,8 +278,18 @@ def start_ledger_gated_fact_sink(
     """
     import math
 
-    from ..operators.dedup import LedgerLock, keep_first, ledger_gate_bloom
+    from ..operators.dedup import (
+        LedgerLock,
+        keep_first,
+        ledger_gate_bloom,
+        probe_volume_estimate,
+    )
     from ..operators.materialize import pin
+
+    if bloom_pregate not in (True, False, "auto"):
+        raise ValueError(
+            f"bloom_pregate must be True, False or 'auto', got {bloom_pregate!r}"
+        )
 
     sink_ledger_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
     gen = _generation_id(checkpoint_dir, storage)  # immutable per incarnation
@@ -248,7 +329,21 @@ def start_ledger_gated_fact_sink(
             live = ledger.filter(F.col("expiresAt") >= F.lit(now)).select(
                 F.col("pk").alias("EventID")
             )
-            if bloom_pregate:
+            use_pregate = bloom_pregate is True
+            if bloom_pregate == "auto":
+                # Both signals are cheap: the live estimate is a driver-side
+                # Catalyst stat read (no job), the batch count is one scalar
+                # job over blocks the pin above already materialized.
+                use_pregate = should_bloom_pregate(
+                    probe_volume_estimate(live),
+                    _parse_spark_bytes(
+                        spark.conf.get(
+                            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                        )
+                    ),
+                    unique.count(),
+                )
+            if use_pregate:
                 # Bloom pre-gate: identical survivor set (no false
                 # negatives; maybes re-check via the exact anti-join inside
                 # ledger_gate_bloom), but only the duplicate+fpp sliver of

@@ -193,9 +193,9 @@ def test_stateful_session_close(spark, tmp_path):
     }
 
 
-@pytest.mark.parametrize("bloom_pregate", [False, True])
+@pytest.mark.parametrize("bloom_pregate", [False, True, "auto"])
 def test_ledger_gated_sink_dedups_across_checkpoint_loss(
-    spark, tmp_path, bloom_pregate
+    spark, tmp_path, bloom_pregate, monkeypatch, request
 ):
     """K4 streaming: the parquet-ledger gate holds the dedup horizon OUTSIDE
     the streaming checkpoint. A second stream instance with a brand-new
@@ -204,8 +204,34 @@ def test_ledger_gated_sink_dedups_across_checkpoint_loss(
     first instance marked, and within-batch duplicates collapse keep-first
     before the gate. Parametrized over the Bloom pre-gate: the pre-gated
     micro-batch must produce the identical survivor set (no false
-    negatives; maybes re-check exactly)."""
+    negatives; maybes re-check exactly). The "auto" cell forces the regime
+    rule's thresholds down so the dispatch itself is exercised end-to-end:
+    instance 1 bootstraps from an in-memory empty ledger (no Catalyst
+    estimate -> auto stays exact) and instance 2 reads the parquet ledger
+    with broadcast disabled and a zero batch floor (-> auto pre-gates)."""
     import json as _json
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming import pipeline as _pl
+
+    pregate_calls = []
+    if bloom_pregate == "auto":
+        monkeypatch.setattr(_pl, "PREGATE_AUTO_MIN_BATCH_ROWS", 0)
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "-1")
+        request.addfinalizer(lambda: spark.conf.set(key, old))
+        # Spy on the pre-gate so the cell can assert the dispatch really
+        # flipped (the sink imports it at start time, so patching the
+        # operators module is seen by write_batch).
+        from quill_agent_dashboard_pbi_etl_spark.operators import dedup as _dd
+
+        real_gate = _dd.ledger_gate_bloom
+
+        def spy(*args, **kwargs):
+            pregate_calls.append(1)
+            return real_gate(*args, **kwargs)
+
+        monkeypatch.setattr(_dd, "ledger_gate_bloom", spy)
 
     from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
         normalize_webhooks,
@@ -257,6 +283,49 @@ def test_ledger_gated_sink_dedups_across_checkpoint_loss(
     run_instance("ckpt2")
     got = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
     assert got == ["ALOWARE:1", "ALOWARE:2", "ALOWARE:3"]
+
+    if bloom_pregate == "auto":
+        # Instance 1 bootstrapped from an in-memory empty ledger (no
+        # Catalyst estimate -> exact path); instance 2 read the parquet
+        # ledger with broadcast disabled and a zero floor -> the auto
+        # dispatch must have pre-gated at least once.
+        assert pregate_calls, "auto never dispatched to the Bloom pre-gate"
+
+
+def test_should_bloom_pregate_regime_rule():
+    """The auto pre-gate predicate encodes the r10 flip-point grid: enable
+    only past broadcast AND at huge batch volumes; unknown live estimate
+    (in-memory bootstrap ledger) never pre-gates."""
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        should_bloom_pregate,
+    )
+
+    mb = 1 << 20
+    # broadcastable ledger: never, regardless of batch size
+    assert not should_bloom_pregate(5 * mb, 10 * mb, 10**9)
+    # past broadcast but small batch: no
+    assert not should_bloom_pregate(50 * mb, 10 * mb, 30_000_000)
+    # past broadcast + huge batch: yes
+    assert should_bloom_pregate(50 * mb, 10 * mb, 60_000_000)
+    # broadcast disabled (threshold <= 0) counts as not-broadcastable
+    assert should_bloom_pregate(1, -1, 60_000_000)
+    # unknown estimate -> exact path
+    assert not should_bloom_pregate(None, 10 * mb, 10**9)
+    # explicit floor override (what the e2e "auto" cell uses)
+    assert should_bloom_pregate(1, -1, 1, min_batch_rows=0)
+
+
+def test_parse_spark_bytes():
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        _parse_spark_bytes,
+    )
+
+    assert _parse_spark_bytes("10MB") == 10 << 20
+    assert _parse_spark_bytes("10485760b") == 10 << 20
+    assert _parse_spark_bytes("-1") == -1
+    assert _parse_spark_bytes("1g") == 1 << 30
+    assert _parse_spark_bytes("512k") == 512 << 10
+    assert _parse_spark_bytes("garbage") is None
 
 
 def test_ledger_gated_sink_backfill_older_than_ttl_still_dedups(spark, tmp_path):
