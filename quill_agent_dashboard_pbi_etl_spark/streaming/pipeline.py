@@ -127,12 +127,26 @@ def start_fact_sink(
 # bloom_pregate="auto" enables the per-batch Bloom pre-gate only when the
 # micro-batch carries at least this many (deduped) events. From the r10
 # flip-point grid (SCALE_LADDER.json streaming_ledger_gate.flip_point,
-# min-of-2 with alternated order): at the past-broadcast 5.8M-key decade
-# the pre-gate loses 1.66x at 30M events/batch and wins 0.60x at 60M —
-# the floor sits between the measured loss and the measured win. Batches
-# this large are replay/backfill drains by construction; SLA-paced
-# triggers never reach it and stay on the plain anti-join.
+# min-of-2 with alternated order): at the 5.8M-key decade the pre-gate
+# loses 1.66x at 30M events/batch and wins 0.60x at 60M — the floor sits
+# between the measured loss and the measured win. Batches this large are
+# replay/backfill drains by construction; SLA-paced triggers never reach
+# it and stay on the plain anti-join.
 PREGATE_AUTO_MIN_BATCH_ROWS = 50_000_000
+
+# ...and only when the TTL-live ledger's Catalyst plan-size estimate is at
+# least this large. The grid's live-size axis was re-measured at the
+# executed-plan level in round 10: BOTH seed decades broadcast the live
+# side (estimates 19.9 MB at 1.75M keys / 58.8 MB at 5.8M, under the
+# session's 64 MB threshold; executed joins are BroadcastHashJoin LeftAnti
+# in both), so the win at 5.8M keys is NOT a broadcast-vs-SMJ flip — it is
+# a build-side size effect: probing a multi-hundred-MB 5.8M-string-key
+# broadcast hash relation once per event loses to a cache-resident Bloom
+# word table probed 7x per event plus the exact re-check over the ~8x
+# smaller maybe sliver, while a 1.75M-key table is cheap enough to probe
+# directly at every measured volume. The floor sits between the measured
+# loss (19.9 MB) and win (58.8 MB) estimates.
+PREGATE_AUTO_MIN_LIVE_BYTES = 32 << 20
 
 
 def _parse_spark_bytes(value: str) -> int | None:
@@ -159,27 +173,44 @@ def should_bloom_pregate(
     broadcast_threshold_bytes: int | None,
     batch_rows: int,
     min_batch_rows: int | None = None,
+    min_live_bytes: int | None = None,
 ) -> bool:
-    """The measured pre-gate rule as a pure predicate: enable only when the
-    planner would NOT broadcast the live ledger (its plan-size estimate
-    exceeds the session's autoBroadcastJoinThreshold — the SAME signal the
-    planner reads, so "no longer broadcasts" is judged exactly as the
-    planner judges it; threshold <= 0 means broadcast is disabled, which
-    counts as not-broadcastable) AND the micro-batch is a huge drain
-    (>= min_batch_rows, default ``PREGATE_AUTO_MIN_BATCH_ROWS`` read at
-    call time so tests can lower the floor). Unknown live estimate ->
-    False (a pure in-memory ledger bootstrap is tiny and would
-    broadcast)."""
+    """The measured pre-gate rule as a pure predicate. Enable only when the
+    micro-batch is a huge drain (>= min_batch_rows, default
+    ``PREGATE_AUTO_MIN_BATCH_ROWS``; both floors read at call time so
+    tests can lower them) AND the TTL-live ledger is big enough for the
+    pre-gate to pay on at least one measured axis:
+
+    - ``live_est_bytes >= min_live_bytes`` (default
+      ``PREGATE_AUTO_MIN_LIVE_BYTES``): the MEASURED one-box axis — at
+      this size the exact path's per-event probe of a large broadcast
+      hash relation loses to the Bloom pass (0.60x at the 58.8 MB /
+      60M-event grid cell) even though the ledger still broadcasts (both
+      grid decades execute BroadcastHashJoin — verified at the
+      executed-plan level, r10).
+    - ``live_est_bytes > broadcast_threshold_bytes`` (threshold <= 0 =
+      broadcast disabled): the STRUCTURAL axis — the planner will
+      sort-merge the whole batch against the ledger, and the pre-gate
+      additionally cuts that event-scale shuffle ~8x. Not separately
+      measurable on this box (the session threshold sits above the
+      measured estimates) but strictly safer territory: the exact
+      alternative shuffles everything.
+
+    Unknown live estimate -> False (a pure in-memory ledger bootstrap is
+    tiny)."""
     if min_batch_rows is None:
         min_batch_rows = PREGATE_AUTO_MIN_BATCH_ROWS
-    if live_est_bytes is None:
+    if min_live_bytes is None:
+        min_live_bytes = PREGATE_AUTO_MIN_LIVE_BYTES
+    if live_est_bytes is None or batch_rows < min_batch_rows:
         return False
-    past_broadcast = (
-        broadcast_threshold_bytes is None
-        or broadcast_threshold_bytes <= 0
-        or live_est_bytes > broadcast_threshold_bytes
-    )
-    return past_broadcast and batch_rows >= min_batch_rows
+    big_build_side = live_est_bytes >= min_live_bytes
+    not_broadcastable = (
+        broadcast_threshold_bytes is not None
+        and broadcast_threshold_bytes > 0
+        and live_est_bytes > broadcast_threshold_bytes
+    ) or (broadcast_threshold_bytes is not None and broadcast_threshold_bytes <= 0)
+    return big_build_side or not_broadcastable
 
 
 def start_ledger_gated_fact_sink(
@@ -242,14 +273,15 @@ def start_ledger_gated_fact_sink(
 
     ``bloom_pregate="auto"`` applies the measured regime rule per
     micro-batch instead of asking the deployer to evaluate it:
-    :func:`should_bloom_pregate` enables the pre-gate only when the live
-    ledger's Catalyst plan-size estimate exceeds the session's
-    ``autoBroadcastJoinThreshold`` (the exact signal the planner uses to
-    stop broadcasting the anti-join's build side — so "no longer
-    broadcasts" is judged as the planner judges it, with no extra job) AND
-    the deduped micro-batch carries >= ``PREGATE_AUTO_MIN_BATCH_ROWS``
-    events (one count job over the already-pinned batch). Small SLA-paced
-    triggers and broadcastable ledgers stay on the plain anti-join; huge
+    :func:`should_bloom_pregate` enables the pre-gate only when the
+    deduped micro-batch carries >= ``PREGATE_AUTO_MIN_BATCH_ROWS`` events
+    (one count job over the already-pinned batch) AND the TTL-live
+    ledger's Catalyst plan-size estimate (a driver-side stat read, no
+    job) crosses either measured-or-structural size axis — see the
+    predicate's docstring; the one-box flip was re-measured at the
+    executed-plan level and is a build-side hash-table size effect, NOT a
+    broadcast-vs-SMJ flip (both grid decades broadcast). Small SLA-paced
+    triggers and small ledgers stay on the plain anti-join; huge
     replay/backfill drains against a grown ledger get the pre-gate, per
     batch, as the stream's regime shifts.
 
@@ -263,18 +295,22 @@ def start_ledger_gated_fact_sink(
     crash recovery are untouched. Measured regime (the r10 flip-point grid,
     SCALE_LADDER.json ``streaming_ledger_gate.flip_point`` — per-batch
     volume and live-ledger size decoupled, min-of-2 with alternated order):
-    enable ONLY when BOTH hold — the TTL-live ledger no longer broadcasts
-    (millions of keys at default thresholds; the batch ladder crossed at
-    ~5.8M) AND micro-batches carry tens of millions of events (flips
-    positive between 30M and 60M events/batch at the 5.8M-key decade,
-    0.60× at 60M). Under a broadcastable ledger the probe pass is pure
-    added CPU that grows with volume (2.05× loss at 100M events); at small
-    SLA-paced triggers the per-batch fixed costs dominate (2× at sf0.1) —
-    hence the flag rather than a default. Its cluster-side value is
-    unconditional on batch size past the broadcast cliff: the anti-join
-    shuffle volume cut holds ~8× per batch. Past
-    ``MAX_BLOOM_LITERAL_BITS`` the sizing auto-dispatches to the
-    distributed word-table probe exactly like the batch operator.
+    enable ONLY when BOTH hold — the TTL-live ledger has grown to
+    millions of keys (the grid flips between its 1.75M- and 5.8M-key
+    decades; the executed-plan re-measure shows BOTH still broadcast
+    under the session's 64 MB threshold, so the axis is the per-event
+    cost of probing a large broadcast hash relation, not a
+    broadcast-vs-SMJ flip) AND micro-batches carry tens of millions of
+    events (flips positive between 30M and 60M events/batch at the
+    5.8M-key decade, 0.60× at 60M). Against a small ledger the probe
+    pass is pure added CPU that grows with volume (2.05× loss at 100M
+    events over 1.75M keys); at small SLA-paced triggers the per-batch
+    fixed costs dominate (2× at sf0.1) — hence the flag rather than a
+    default. Its cluster-side value once the ledger genuinely stops
+    broadcasting is structural: the anti-join shuffle volume cut holds
+    ~8× per batch. Past ``MAX_BLOOM_LITERAL_BITS`` the sizing
+    auto-dispatches to the distributed word-table probe exactly like the
+    batch operator.
     """
     import math
 
@@ -331,18 +367,19 @@ def start_ledger_gated_fact_sink(
             )
             use_pregate = bloom_pregate is True
             if bloom_pregate == "auto":
-                # Both signals are cheap: the live estimate is a driver-side
-                # Catalyst stat read (no job), the batch count is one scalar
-                # job over blocks the pin above already materialized.
-                use_pregate = should_bloom_pregate(
-                    probe_volume_estimate(live),
-                    _parse_spark_bytes(
-                        spark.conf.get(
-                            "spark.sql.autoBroadcastJoinThreshold", "10MB"
-                        )
-                    ),
-                    unique.count(),
+                # The live-side signals are driver-side stat/conf reads (no
+                # job); the batch count is one scalar job over blocks the
+                # pin above already materialized — pay it only when the
+                # live axes could fire at all, so SLA-paced triggers
+                # against a small ledger add zero jobs.
+                est = probe_volume_estimate(live)
+                thresh = _parse_spark_bytes(
+                    spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
                 )
+                if should_bloom_pregate(est, thresh, batch_rows=1 << 62):
+                    use_pregate = should_bloom_pregate(
+                        est, thresh, unique.count()
+                    )
             if use_pregate:
                 # Bloom pre-gate: identical survivor set (no false
                 # negatives; maybes re-check via the exact anti-join inside

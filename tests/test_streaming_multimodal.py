@@ -301,11 +301,11 @@ def test_should_bloom_pregate_regime_rule():
     )
 
     mb = 1 << 20
-    # broadcastable ledger: never, regardless of batch size
+    # tiny live ledger (well under both axes): never, regardless of batch
     assert not should_bloom_pregate(5 * mb, 10 * mb, 10**9)
-    # past broadcast but small batch: no
+    # big build side but small batch: no
     assert not should_bloom_pregate(50 * mb, 10 * mb, 30_000_000)
-    # past broadcast + huge batch: yes
+    # big build side + huge batch: yes
     assert should_bloom_pregate(50 * mb, 10 * mb, 60_000_000)
     # broadcast disabled (threshold <= 0) counts as not-broadcastable
     assert should_bloom_pregate(1, -1, 60_000_000)
@@ -313,6 +313,15 @@ def test_should_bloom_pregate_regime_rule():
     assert not should_bloom_pregate(None, 10 * mb, 10**9)
     # explicit floor override (what the e2e "auto" cell uses)
     assert should_bloom_pregate(1, -1, 1, min_batch_rows=0)
+    # the two r10 grid extremes under the engine session's 64 MB threshold
+    # (both still broadcast — the measured axis is build-side size):
+    # 58.8 MB / 5.8M keys at 60M events won 0.60x -> fire;
+    # 19.9 MB / 1.75M keys lost at every volume -> never fire.
+    assert should_bloom_pregate(int(58.8 * mb), 64 * mb, 60_000_000)
+    assert not should_bloom_pregate(int(19.9 * mb), 64 * mb, 100_000_000)
+    # structural axis: a 20 MB live set under a default 10 MB threshold
+    # sort-merges the whole batch -> pre-gate cuts that shuffle, fire.
+    assert should_bloom_pregate(20 * mb, 10 * mb, 60_000_000)
 
 
 def test_parse_spark_bytes():
