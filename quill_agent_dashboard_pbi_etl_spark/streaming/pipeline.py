@@ -125,28 +125,35 @@ def start_fact_sink(
 
 
 # bloom_pregate="auto" enables the per-batch Bloom pre-gate only when the
-# micro-batch carries at least this many (deduped) events. From the r10
-# flip-point grid (SCALE_LADDER.json streaming_ledger_gate.flip_point,
-# min-of-2 with alternated order): at the 5.8M-key decade the pre-gate
-# loses 1.66x at 30M events/batch and wins 0.60x at 60M — the floor sits
-# between the measured loss and the measured win. Batches this large are
-# replay/backfill drains by construction; SLA-paced triggers never reach
-# it and stay on the plain anti-join.
-PREGATE_AUTO_MIN_BATCH_ROWS = 50_000_000
+# micro-batch carries at least this many WITHIN-BATCH-DEDUPED events — the
+# rows the gate actually probes (the sink counts `unique`, after
+# keep_first). From the r10 flip-point grid (SCALE_LADDER.json
+# streaming_ledger_gate.flip_point, min-of-2 with alternated order): at
+# the 5.8M-key decade the pre-gate loses 1.66x at 30M raw events/batch
+# (~15M deduped at the generator's ~50% duplicate rate) and wins 0.60x at
+# 60M raw (~30M deduped) — the floor sits between the measured loss and
+# win in DEDUPED terms, the unit the gate's probe cost actually scales
+# with. Batches this large are replay/backfill drains by construction;
+# SLA-paced triggers never reach it and stay on the plain anti-join.
+PREGATE_AUTO_MIN_BATCH_ROWS = 25_000_000
 
-# ...and only when the TTL-live ledger's Catalyst plan-size estimate is at
-# least this large. The grid's live-size axis was re-measured at the
-# executed-plan level in round 10: BOTH seed decades broadcast the live
-# side (estimates 19.9 MB at 1.75M keys / 58.8 MB at 5.8M, under the
-# session's 64 MB threshold; executed joins are BroadcastHashJoin LeftAnti
-# in both), so the win at 5.8M keys is NOT a broadcast-vs-SMJ flip — it is
-# a build-side size effect: probing a multi-hundred-MB 5.8M-string-key
-# broadcast hash relation once per event loses to a cache-resident Bloom
-# word table probed 7x per event plus the exact re-check over the ~8x
-# smaller maybe sliver, while a 1.75M-key table is cheap enough to probe
-# directly at every measured volume. The floor sits between the measured
-# loss (19.9 MB) and win (58.8 MB) estimates.
-PREGATE_AUTO_MIN_LIVE_BYTES = 32 << 20
+# ...and only when the TTL-live ledger is past the session's broadcast
+# threshold. History of this axis (all in SCALE_LADDER.json): the r10 grid
+# seemed to show a one-box win at the broadcastable 5.8M-key decade (0.60x
+# at 60M events), and an executed-plan re-measure proved BOTH grid decades
+# broadcast (estimates 19.9/58.8 MB under the 64 MB session threshold —
+# `flip_point_mechanism`), which briefly argued for a build-side-size axis
+# below the broadcast threshold. A THIRD run of that cell
+# (`flip_point_auto.vol60pct_seed100pct`) failed to reproduce the win:
+# across three runs the min walls favor exact (82.8 s vs 93.8 s), so the
+# broadcastable-regime win is inside the box's ambient band and was
+# dropped as a dispatch axis. What survives: the pre-gate's losses under
+# small ledgers/batches are unambiguous (1.66-2.05x), parity at 100M/5.8M,
+# and the de-confounded wins live PAST the broadcast threshold — the sf300
+# fresh-JVM A/B (17.5M keys, ~177+ MB live: bloom 66.9 s vs exact 73.3 s,
+# min-of-2 both orders) plus the structural ~8x anti-join shuffle cut
+# that a real fabric monetizes. Auto therefore fires only where the
+# planner stops broadcasting.
 
 
 def _parse_spark_bytes(value: str) -> int | None:
@@ -173,44 +180,31 @@ def should_bloom_pregate(
     broadcast_threshold_bytes: int | None,
     batch_rows: int,
     min_batch_rows: int | None = None,
-    min_live_bytes: int | None = None,
 ) -> bool:
     """The measured pre-gate rule as a pure predicate. Enable only when the
-    micro-batch is a huge drain (>= min_batch_rows, default
-    ``PREGATE_AUTO_MIN_BATCH_ROWS``; both floors read at call time so
-    tests can lower them) AND the TTL-live ledger is big enough for the
-    pre-gate to pay on at least one measured axis:
-
-    - ``live_est_bytes >= min_live_bytes`` (default
-      ``PREGATE_AUTO_MIN_LIVE_BYTES``): the MEASURED one-box axis — at
-      this size the exact path's per-event probe of a large broadcast
-      hash relation loses to the Bloom pass (0.60x at the 58.8 MB /
-      60M-event grid cell) even though the ledger still broadcasts (both
-      grid decades execute BroadcastHashJoin — verified at the
-      executed-plan level, r10).
-    - ``live_est_bytes > broadcast_threshold_bytes`` (threshold <= 0 =
-      broadcast disabled): the STRUCTURAL axis — the planner will
-      sort-merge the whole batch against the ledger, and the pre-gate
-      additionally cuts that event-scale shuffle ~8x. Not separately
-      measurable on this box (the session threshold sits above the
-      measured estimates) but strictly safer territory: the exact
-      alternative shuffles everything.
-
-    Unknown live estimate -> False (a pure in-memory ledger bootstrap is
-    tiny)."""
+    micro-batch is a huge drain (>= min_batch_rows DEDUPED rows, default
+    ``PREGATE_AUTO_MIN_BATCH_ROWS``, read at call time so tests can lower
+    the floor) AND the TTL-live ledger is past the session's broadcast
+    threshold (``live_est_bytes > broadcast_threshold_bytes``; threshold
+    <= 0 = broadcast disabled, which counts as not-broadcastable). Past
+    that cliff the exact gate sort-merges the whole batch; the pre-gate
+    cuts that event-scale shuffle ~8x and holds the only de-confounded
+    one-box win (the sf300 fresh-JVM A/B). Below it every de-confounded
+    measurement shows the pre-gate losing or tying — including a
+    three-run re-measure of the grid's apparent 0.60x broadcastable-regime
+    win, which did not reproduce (see the comment block above
+    ``PREGATE_AUTO_MIN_BATCH_ROWS``). Unknown live estimate -> False (a
+    pure in-memory ledger bootstrap is tiny)."""
     if min_batch_rows is None:
         min_batch_rows = PREGATE_AUTO_MIN_BATCH_ROWS
-    if min_live_bytes is None:
-        min_live_bytes = PREGATE_AUTO_MIN_LIVE_BYTES
     if live_est_bytes is None or batch_rows < min_batch_rows:
         return False
-    big_build_side = live_est_bytes >= min_live_bytes
-    not_broadcastable = (
-        broadcast_threshold_bytes is not None
-        and broadcast_threshold_bytes > 0
-        and live_est_bytes > broadcast_threshold_bytes
-    ) or (broadcast_threshold_bytes is not None and broadcast_threshold_bytes <= 0)
-    return big_build_side or not_broadcastable
+    if broadcast_threshold_bytes is None:
+        return False  # unparseable conf: can't judge the cliff, stay exact
+    return (
+        broadcast_threshold_bytes <= 0
+        or live_est_bytes > broadcast_threshold_bytes
+    )
 
 
 def start_ledger_gated_fact_sink(
@@ -275,15 +269,18 @@ def start_ledger_gated_fact_sink(
     micro-batch instead of asking the deployer to evaluate it:
     :func:`should_bloom_pregate` enables the pre-gate only when the
     deduped micro-batch carries >= ``PREGATE_AUTO_MIN_BATCH_ROWS`` events
-    (one count job over the already-pinned batch) AND the TTL-live
-    ledger's Catalyst plan-size estimate (a driver-side stat read, no
-    job) crosses either measured-or-structural size axis — see the
-    predicate's docstring; the one-box flip was re-measured at the
-    executed-plan level and is a build-side hash-table size effect, NOT a
-    broadcast-vs-SMJ flip (both grid decades broadcast). Small SLA-paced
-    triggers and small ledgers stay on the plain anti-join; huge
-    replay/backfill drains against a grown ledger get the pre-gate, per
-    batch, as the stream's regime shifts.
+    (one count job over the already-pinned batch, paid only when the
+    ledger signal could fire) AND the TTL-live ledger's Catalyst
+    plan-size estimate (a driver-side stat read, no job) exceeds the
+    session's broadcast threshold — the regime where the exact gate
+    sort-merges the whole batch, the pre-gate's ~8x shuffle cut pays,
+    and its only de-confounded one-box win lives (sf300 A/B). Below the
+    cliff every de-confounded measurement shows losing or tying (the
+    grid's apparent broadcastable-regime win did not survive a third
+    run — see the ``PREGATE_AUTO_MIN_BATCH_ROWS`` comment block). Small
+    SLA-paced triggers and broadcastable ledgers stay on the plain
+    anti-join; huge replay/backfill drains against a grown ledger get
+    the pre-gate, per batch, as the stream's regime shifts.
 
     ``bloom_pregate=True`` runs the batch Bloom pre-gate
     (:func:`..operators.dedup.ledger_gate_bloom`) in place of the plain

@@ -293,35 +293,41 @@ def test_ledger_gated_sink_dedups_across_checkpoint_loss(
 
 
 def test_should_bloom_pregate_regime_rule():
-    """The auto pre-gate predicate encodes the r10 flip-point grid: enable
-    only past broadcast AND at huge batch volumes; unknown live estimate
-    (in-memory bootstrap ledger) never pre-gates."""
+    """The auto pre-gate predicate encodes the surviving evidence: fire
+    only past the session's broadcast threshold (the regime of the 8x
+    shuffle cut and the sf300 de-confounded win) AND at huge deduped batch
+    volumes; unknown estimate / unparseable conf never pre-gates."""
     from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
         should_bloom_pregate,
     )
 
     mb = 1 << 20
-    # tiny live ledger (well under both axes): never, regardless of batch
+    # batch_rows below are DEDUPED (post-keep_first) counts — the unit the
+    # sink actually feeds the predicate (the grid's raw 30/60/100M axes map
+    # to ~15/30/50M deduped at the generator's ~50% duplicate rate).
+    # broadcastable ledger: never, regardless of batch size — the grid's
+    # apparent 0.60x win at 58.8 MB (< the 64 MB session threshold) did
+    # not survive a third run (flip_point_auto: exact min 82.8 s vs
+    # pre-gate 93.8 s) and both grid decades broadcast at executed-plan
+    # level (flip_point_mechanism).
     assert not should_bloom_pregate(5 * mb, 10 * mb, 10**9)
-    # big build side but small batch: no
-    assert not should_bloom_pregate(50 * mb, 10 * mb, 30_000_000)
-    # big build side + huge batch: yes
-    assert should_bloom_pregate(50 * mb, 10 * mb, 60_000_000)
+    assert not should_bloom_pregate(int(58.8 * mb), 64 * mb, 30_000_000)
+    assert not should_bloom_pregate(int(19.9 * mb), 64 * mb, 50_000_000)
+    # past broadcast but small batch: no
+    assert not should_bloom_pregate(50 * mb, 10 * mb, 10_000_000)
+    # past broadcast + huge deduped batch: yes (sf300-scale live ledgers
+    # at the engine's 64 MB threshold, or a 20 MB ledger under a default
+    # 10 MB threshold — the exact gate would shuffle the whole batch)
+    assert should_bloom_pregate(50 * mb, 10 * mb, 30_000_000)
+    assert should_bloom_pregate(177 * mb, 64 * mb, 30_000_000)
+    assert should_bloom_pregate(20 * mb, 10 * mb, 30_000_000)
     # broadcast disabled (threshold <= 0) counts as not-broadcastable
-    assert should_bloom_pregate(1, -1, 60_000_000)
-    # unknown estimate -> exact path
+    assert should_bloom_pregate(1, -1, 30_000_000)
+    # unknown estimate or unparseable threshold conf -> exact path
     assert not should_bloom_pregate(None, 10 * mb, 10**9)
+    assert not should_bloom_pregate(50 * mb, None, 10**9)
     # explicit floor override (what the e2e "auto" cell uses)
     assert should_bloom_pregate(1, -1, 1, min_batch_rows=0)
-    # the two r10 grid extremes under the engine session's 64 MB threshold
-    # (both still broadcast — the measured axis is build-side size):
-    # 58.8 MB / 5.8M keys at 60M events won 0.60x -> fire;
-    # 19.9 MB / 1.75M keys lost at every volume -> never fire.
-    assert should_bloom_pregate(int(58.8 * mb), 64 * mb, 60_000_000)
-    assert not should_bloom_pregate(int(19.9 * mb), 64 * mb, 100_000_000)
-    # structural axis: a 20 MB live set under a default 10 MB threshold
-    # sort-merges the whole batch -> pre-gate cuts that shuffle, fire.
-    assert should_bloom_pregate(20 * mb, 10 * mb, 60_000_000)
 
 
 def test_parse_spark_bytes():

@@ -247,6 +247,7 @@ def run_flip_mode(
     volumes: tuple[float, ...] = (0.3, 0.6, 1.0),
     seeds: tuple[float, ...] = (0.3, 1.0),
     rung: str = "sf100",
+    include_auto: bool = False,
 ) -> None:
     """`--flip`: map the streaming Bloom pre-gate's flip point by DECOUPLING
     the two confounded axes of the rung cells — per-batch event volume and
@@ -351,7 +352,30 @@ def run_flip_mode(
                 strategies = [("exact", False), ("bloom_pregate", True)]
                 if os.environ.get("FLIP_ORDER") == "reversed":
                     strategies.reverse()
+                if include_auto:
+                    # auto runs LAST in either order: its walls sit in the
+                    # most-degraded JVM position, so a "auto matches the
+                    # faster strategy" verdict is read from its recorded
+                    # DECISION against the forced cells' walls, not from
+                    # its own wall.
+                    strategies.append(("auto", "auto"))
                 for label, flag in strategies:
+                    pregate_calls: list[int] = []
+                    if flag == "auto":
+                        # Spy on the pre-gate so the cell records which
+                        # path auto actually took (the sink imports it at
+                        # start time, so patching the module is seen).
+                        from quill_agent_dashboard_pbi_etl_spark.operators import (
+                            dedup as _dd,
+                        )
+
+                        real_gate = _dd.ledger_gate_bloom
+
+                        def _spy(*a, **k):
+                            pregate_calls.append(1)
+                            return real_gate(*a, **k)
+
+                        _dd.ledger_gate_bloom = _spy
                     ledger_path = os.path.join(work, f"ledger_{label}")
                     sink = os.path.join(work, f"out_{label}")
                     seed_df.write.mode("overwrite").parquet(ledger_path)
@@ -376,6 +400,19 @@ def run_flip_mode(
                         "wall_sec": round(wall, 3),
                         "events_per_sec": int(n_events / wall),
                     }
+                    if flag == "auto":
+                        _dd.ledger_gate_bloom = real_gate
+                        chose = "bloom_pregate" if pregate_calls else "exact"
+                        cell[label]["auto_chose"] = chose
+                        if "exact" in cell and "bloom_pregate" in cell:
+                            better = (
+                                "exact"
+                                if cell["exact"]["wall_sec"]
+                                <= cell["bloom_pregate"]["wall_sec"]
+                                else "bloom_pregate"
+                            )
+                            cell[label]["measured_better"] = better
+                            cell[label]["auto_matches_better"] = chose == better
                     shutil.rmtree(sink, ignore_errors=True)
                     shutil.rmtree(ledger_path, ignore_errors=True)
                 cell["pregate_vs_exact_ratio"] = round(
@@ -384,11 +421,14 @@ def run_flip_mode(
                 key = f"vol{int(vol * 100)}pct_seed{int(seed_frac * 100)}pct"
                 out[key] = cell
                 print(f"{key}: {cell}", flush=True)
-                # persist after every cell — a mid-sweep kill loses nothing
+                # persist after every cell — a mid-sweep kill loses nothing.
+                # auto runs land in their own node: they are single-pass
+                # cells and must not overwrite the committed min-of-2 grid.
+                node = "flip_point_auto" if include_auto else "flip_point"
                 path = "/root/repo/SCALE_LADDER.json"
                 data = json.load(open(path)) if os.path.exists(path) else {}
                 data.setdefault("streaming_ledger_gate", {}).setdefault(
-                    "flip_point", {}
+                    node, {}
                 ).update(out)
                 json.dump(data, open(path, "w"), indent=1)
         finally:
@@ -409,6 +449,17 @@ def main() -> None:
             i = argv.index("--flip-rung")
             kw["rung"] = argv[i + 1]
             argv = argv[:i] + argv[i + 2 :]
+        if "--flip-volumes" in argv:  # e.g. --flip-volumes 0.6,1.0
+            i = argv.index("--flip-volumes")
+            kw["volumes"] = tuple(float(v) for v in argv[i + 1].split(","))
+            argv = argv[:i] + argv[i + 2 :]
+        if "--flip-seeds" in argv:
+            i = argv.index("--flip-seeds")
+            kw["seeds"] = tuple(float(v) for v in argv[i + 1].split(","))
+            argv = argv[:i] + argv[i + 2 :]
+        if "--flip-auto" in argv:  # add the bloom_pregate="auto" strategy
+            argv.remove("--flip-auto")
+            kw["include_auto"] = True
         run_flip_mode(argv[0] if argv else "/root/repo/scale_ladder", **kw)
         return
     if "--ledger" in argv:
