@@ -140,20 +140,25 @@ PREGATE_AUTO_MIN_BATCH_ROWS = 25_000_000
 # ...and only when the TTL-live ledger is past the session's broadcast
 # threshold. History of this axis (all in SCALE_LADDER.json): the r10 grid
 # seemed to show a one-box win at the broadcastable 5.8M-key decade (0.60x
-# at 60M events), and an executed-plan re-measure proved BOTH grid decades
+# at 60M events); an executed-plan re-measure proved BOTH grid decades
 # broadcast (estimates 19.9/58.8 MB under the 64 MB session threshold —
-# `flip_point_mechanism`), which briefly argued for a build-side-size axis
-# below the broadcast threshold. A THIRD run of that cell
-# (`flip_point_auto.vol60pct_seed100pct`) failed to reproduce the win:
-# across three runs the min walls favor exact (82.8 s vs 93.8 s), so the
-# broadcastable-regime win is inside the box's ambient band and was
-# dropped as a dispatch axis. What survives: the pre-gate's losses under
-# small ledgers/batches are unambiguous (1.66-2.05x), parity at 100M/5.8M,
-# and the de-confounded wins live PAST the broadcast threshold — the sf300
-# fresh-JVM A/B (17.5M keys, ~177+ MB live: bloom 66.9 s vs exact 73.3 s,
-# min-of-2 both orders) plus the structural ~8x anti-join shuffle cut
-# that a real fabric monetizes. Auto therefore fires only where the
-# planner stops broadcasting.
+# `flip_point_mechanism`); a THIRD run of that cell failed to reproduce
+# the win (min walls favor exact 82.8 vs 93.8 s); and the past-broadcast
+# cell itself (17.47M live keys / ~177 MB estimate, two alternated-order
+# passes — `flip_point_auto.vol33pct_seed100pct`) came back NEGATIVE too:
+# clean-position walls exact 111.1 s vs pre-gate 180.8 s (1.63x loss) —
+# the BATCH gate's sf300 fresh-JVM win (66.9 vs 73.3 s) does not transfer
+# to the sink, which adds per-batch live pinning, the sizing count, and
+# the word-table fold whose bit_or aggregation itself shuffles up to
+# k x live rows (a cost the 8x anti-join-cut accounting does not
+# include). NET ONE-BOX VERDICT: no measured streaming cell where the
+# pre-gate wins — on a single machine leave bloom_pregate=False
+# everywhere. "auto" therefore encodes the FABRIC-structural regime, not
+# a one-box win predictor: it fires where the anti-join volume cut is
+# largest (ledger past broadcast, huge drain batches) for deployments on
+# real network fabrics where shuffle bytes are the scarce resource — an
+# opt-in for clusters, with the caveat above that the fold's own shuffle
+# eats into the cut as live:batch grows.
 
 
 def _parse_spark_bytes(value: str) -> int | None:
@@ -187,14 +192,14 @@ def should_bloom_pregate(
     the floor) AND the TTL-live ledger is past the session's broadcast
     threshold (``live_est_bytes > broadcast_threshold_bytes``; threshold
     <= 0 = broadcast disabled, which counts as not-broadcastable). Past
-    that cliff the exact gate sort-merges the whole batch; the pre-gate
-    cuts that event-scale shuffle ~8x and holds the only de-confounded
-    one-box win (the sf300 fresh-JVM A/B). Below it every de-confounded
-    measurement shows the pre-gate losing or tying — including a
-    three-run re-measure of the grid's apparent 0.60x broadcastable-regime
-    win, which did not reproduce (see the comment block above
-    ``PREGATE_AUTO_MIN_BATCH_ROWS``). Unknown live estimate -> False (a
-    pure in-memory ledger bootstrap is tiny)."""
+    that cliff the exact gate sort-merges the whole batch and the
+    pre-gate's anti-join volume cut is largest — the FABRIC-structural
+    regime this predicate marks for cluster deployments. It is NOT a
+    one-box win predictor: every measured one-box streaming cell,
+    including the past-broadcast one, is negative-to-tie (see the
+    comment block above ``PREGATE_AUTO_MIN_BATCH_ROWS`` for the full
+    history). Unknown live estimate -> False (a pure in-memory ledger
+    bootstrap is tiny)."""
     if min_batch_rows is None:
         min_batch_rows = PREGATE_AUTO_MIN_BATCH_ROWS
     if live_est_bytes is None or batch_rows < min_batch_rows:
@@ -265,22 +270,21 @@ def start_ledger_gated_fact_sink(
     readers of ``output_dir`` see ``gen``/``batch_id`` as partition columns
     — do not mix differently-laid-out data in one output root.
 
-    ``bloom_pregate="auto"`` applies the measured regime rule per
-    micro-batch instead of asking the deployer to evaluate it:
-    :func:`should_bloom_pregate` enables the pre-gate only when the
-    deduped micro-batch carries >= ``PREGATE_AUTO_MIN_BATCH_ROWS`` events
-    (one count job over the already-pinned batch, paid only when the
-    ledger signal could fire) AND the TTL-live ledger's Catalyst
-    plan-size estimate (a driver-side stat read, no job) exceeds the
-    session's broadcast threshold — the regime where the exact gate
-    sort-merges the whole batch, the pre-gate's ~8x shuffle cut pays,
-    and its only de-confounded one-box win lives (sf300 A/B). Below the
-    cliff every de-confounded measurement shows losing or tying (the
-    grid's apparent broadcastable-regime win did not survive a third
-    run — see the ``PREGATE_AUTO_MIN_BATCH_ROWS`` comment block). Small
-    SLA-paced triggers and broadcastable ledgers stay on the plain
-    anti-join; huge replay/backfill drains against a grown ledger get
-    the pre-gate, per batch, as the stream's regime shifts.
+    ``bloom_pregate="auto"`` is a CLUSTER-FABRIC opt-in that applies the
+    structural regime rule per micro-batch: :func:`should_bloom_pregate`
+    enables the pre-gate only when the deduped micro-batch carries >=
+    ``PREGATE_AUTO_MIN_BATCH_ROWS`` events (one count job over the
+    already-pinned batch, paid only when the ledger signal could fire)
+    AND the TTL-live ledger's Catalyst plan-size estimate (a driver-side
+    stat read, no job) exceeds the session's broadcast threshold — the
+    regime where the exact gate sort-merges the whole batch and the
+    anti-join volume cut is largest. On a SINGLE machine leave the flag
+    False: every measured one-box cell — five decades of them, including
+    the past-broadcast 17.5M-key cell — is negative-to-tie for the
+    streaming pre-gate (full history in the
+    ``PREGATE_AUTO_MIN_BATCH_ROWS`` comment block; the batch operator's
+    sf300 win does not transfer because the sink adds per-batch live
+    pinning, the sizing count, and the word-table fold's own shuffle).
 
     ``bloom_pregate=True`` runs the batch Bloom pre-gate
     (:func:`..operators.dedup.ledger_gate_bloom`) in place of the plain
