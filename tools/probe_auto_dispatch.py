@@ -17,10 +17,12 @@ interleaved in alternating order across two rounds so ambient drift and
 page-cache warm-up hit every setting from both ends, min-of-2 per setting,
 survivors asserted equal across every cell of a rung. Inside each child the
 fact is pinned before the timer, but the timed gate consumes the UNPINNED
-parquet-backed plan — probe="auto" must read the same Catalyst file-scan
-estimate a real caller's events side carries (pinned RDDs report no file
-statistics), and the identical input plan keeps the scan cost equal across
-settings; the pin only pre-warms the page cache equally for all cells.
+parquet-backed plan — the identical input plan keeps the scan cost equal
+across settings, and probe="auto" reads the same Catalyst file-scan
+estimate a real caller's events side carries (pin/localCheckpoint in fact
+PRESERVES that estimate — verified identical pinned vs unpinned — so this
+is about matching the caller's plan shape, not rescuing lost stats); the
+pin only pre-warms the page cache equally for all cells.
 
 Results → SCALE_LADDER.json["bloom_probe_auto"], per rung:
 cells "<setting>_r<round>" with an "ordering" index, plus a summary with

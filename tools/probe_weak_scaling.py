@@ -201,11 +201,14 @@ def run_ledger_cell(master: str, sf_dir: str) -> None:
     raw_fact = normalized_fact(spark, sf_dir).withColumnRenamed(
         "EventID", "dedup_key"
     )
-    # The pin below erases file statistics, so probe="auto" inside the gate
-    # would see no volume estimate and fall back to the bitmap-size guard
-    # (→ literal at these rungs). A real caller's events side is
-    # file-backed; resolve the choice auto WOULD make on the unpinned plan
-    # and pass it explicitly so the cell measures the production encoding.
+    # Resolve the choice auto WOULD make on the unpinned file-backed plan
+    # and pass it explicitly, so the cell records the production encoding
+    # in its output. (Measured note: pin/localCheckpoint PRESERVES the
+    # Catalyst size estimate — LogicalRDD carries the origin plan's stats,
+    # verified identical pinned vs unpinned at sf10/sf30 — so auto inside
+    # the gate would in fact see the same estimate; the explicit pass is
+    # for recording the choice and robustness to pin implementations that
+    # drop stats, not a functional necessity.)
     est = dedup.probe_volume_estimate(raw_fact)
     probe_choice = (
         "bucketed"
