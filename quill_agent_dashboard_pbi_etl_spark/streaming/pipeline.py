@@ -183,7 +183,7 @@ def _parse_spark_bytes(value: str) -> int | None:
 def should_bloom_pregate(
     live_est_bytes: int | None,
     broadcast_threshold_bytes: int | None,
-    batch_rows: int,
+    batch_rows: int | None,
     min_batch_rows: int | None = None,
 ) -> bool:
     """The measured pre-gate rule as a pure predicate. Enable only when the
@@ -199,10 +199,17 @@ def should_bloom_pregate(
     including the past-broadcast one, is negative-to-tie (see the
     comment block above ``PREGATE_AUTO_MIN_BATCH_ROWS`` for the full
     history). Unknown live estimate -> False (a pure in-memory ledger
-    bootstrap is tiny)."""
+    bootstrap is tiny).
+
+    ``batch_rows=None`` means "assume a huge batch": only the live-ledger
+    axes are tested. The predicate is monotone in ``batch_rows``, so
+    None ≡ +inf — the sink uses it to ask whether the pre-gate COULD fire
+    at all before paying the batch-sizing count job."""
     if min_batch_rows is None:
         min_batch_rows = PREGATE_AUTO_MIN_BATCH_ROWS
-    if live_est_bytes is None or batch_rows < min_batch_rows:
+    if live_est_bytes is None:
+        return False
+    if batch_rows is not None and batch_rows < min_batch_rows:
         return False
     if broadcast_threshold_bytes is None:
         return False  # unparseable conf: can't judge the cliff, stay exact
@@ -371,13 +378,14 @@ def start_ledger_gated_fact_sink(
                 # The live-side signals are driver-side stat/conf reads (no
                 # job); the batch count is one scalar job over blocks the
                 # pin above already materialized — pay it only when the
-                # live axes could fire at all, so SLA-paced triggers
-                # against a small ledger add zero jobs.
+                # live axes could fire at all (batch_rows=None = "assume a
+                # huge batch"), so SLA-paced triggers against a small
+                # ledger add zero jobs.
                 est = probe_volume_estimate(live)
                 thresh = _parse_spark_bytes(
                     spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
                 )
-                if should_bloom_pregate(est, thresh, batch_rows=1 << 62):
+                if should_bloom_pregate(est, thresh, batch_rows=None):
                     use_pregate = should_bloom_pregate(
                         est, thresh, unique.count()
                     )

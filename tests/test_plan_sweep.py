@@ -47,6 +47,13 @@ BNLJ_BY_DESIGN = {
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_global_plan_invariants(spark, name):
     df = QUERIES[name](spark, SF_SMALL)
+    # Deliberately the INITIAL plan: nothing has executed here, so under AQE
+    # executedPlan() is the pre-runtime-reoptimization plan. For THESE guards
+    # that is the right object — AQE only ever swaps join strategies downward
+    # (e.g. SMJ → broadcast); it never INTRODUCES CartesianProduct /
+    # BatchEvalPython / BroadcastNestedLoopJoin nodes absent from the initial
+    # plan — and it keeps the 95-query sweep collect-free. Do not "fix" this
+    # into a collect-first test.
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: unkeyed cartesian join"
     if name not in BNLJ_BY_DESIGN:

@@ -361,6 +361,7 @@ def run_flip_mode(
                     strategies.append(("auto", "auto"))
                 for label, flag in strategies:
                     pregate_calls: list[int] = []
+                    real_gate = None
                     if flag == "auto":
                         # Spy on the pre-gate so the cell records which
                         # path auto actually took (the sink imports it at
@@ -376,32 +377,38 @@ def run_flip_mode(
                             return real_gate(*a, **k)
 
                         _dd.ledger_gate_bloom = _spy
-                    ledger_path = os.path.join(work, f"ledger_{label}")
-                    sink = os.path.join(work, f"out_{label}")
-                    seed_df.write.mode("overwrite").parquet(ledger_path)
-                    t0 = time.perf_counter()
-                    stream = envelopes_to_webhook_shape(
-                        read_envelope_stream(spark, landing)
-                    )
-                    q = start_ledger_gated_fact_sink(
-                        normalize_webhooks(stream),
-                        ledger_path,
-                        sink,
-                        os.path.join(work, f"ckpt_{label}_{int(seed_frac * 100)}"),
-                        available_now=True,
-                        now_epoch=now_epoch,
-                        bloom_pregate=flag,
-                    )
-                    q.awaitTermination(3600)
-                    wall = time.perf_counter() - t0
-                    written = spark.read.parquet(sink).count()
-                    assert written == expected, (vol, seed_frac, label, written, expected)
+                    try:
+                        ledger_path = os.path.join(work, f"ledger_{label}")
+                        sink = os.path.join(work, f"out_{label}")
+                        seed_df.write.mode("overwrite").parquet(ledger_path)
+                        t0 = time.perf_counter()
+                        stream = envelopes_to_webhook_shape(
+                            read_envelope_stream(spark, landing)
+                        )
+                        q = start_ledger_gated_fact_sink(
+                            normalize_webhooks(stream),
+                            ledger_path,
+                            sink,
+                            os.path.join(work, f"ckpt_{label}_{int(seed_frac * 100)}"),
+                            available_now=True,
+                            now_epoch=now_epoch,
+                            bloom_pregate=flag,
+                        )
+                        q.awaitTermination(3600)
+                        wall = time.perf_counter() - t0
+                        written = spark.read.parquet(sink).count()
+                        assert written == expected, (vol, seed_frac, label, written, expected)
+                    finally:
+                        # Restore even when the sink run raises — a leaked
+                        # spy would wrap later auto cells' gates in a chain
+                        # of spies feeding a stale pregate_calls list.
+                        if real_gate is not None:
+                            _dd.ledger_gate_bloom = real_gate
                     cell[label] = {
                         "wall_sec": round(wall, 3),
                         "events_per_sec": int(n_events / wall),
                     }
                     if flag == "auto":
-                        _dd.ledger_gate_bloom = real_gate
                         chose = "bloom_pregate" if pregate_calls else "exact"
                         cell[label]["auto_chose"] = chose
                         if "exact" in cell and "bloom_pregate" in cell:
