@@ -266,12 +266,15 @@ def start_ledger_gated_fact_sink(
     incarnation's claims (no duplicate re-emission) nor overwrite the old
     incarnation's committed output — a replayed event lands in exactly the
     one subdirectory whose batch claimed its key, never twice — with ONE
-    documented loss window: a batch that claimed keys and crashed before
-    writing output is recoverable only by the SAME incarnation's retry. If
-    the checkpoint is rebuilt while such a batch is outstanding, its claims
-    are orphaned (live in the ledger under a dead tag) and those events land
-    in no output — drain or let the stream finish its in-flight batch before
-    deleting a checkpoint, or use the Delta MERGE ledger path
+    loss window: a batch that claimed keys and crashed before writing
+    output is recoverable only by the SAME incarnation's retry. If the
+    checkpoint is rebuilt while such a batch is outstanding, its claims are
+    orphaned (live in the ledger under a dead tag) and those events land in
+    no output. :func:`reclaim_orphaned_claims` closes that window after the
+    fact — it finds dead-tag claims whose output never committed and either
+    releases them (the next replay re-admits the events) or re-emits the
+    events to a quarantine output; operationally, still prefer draining the
+    stream before deleting a checkpoint, or the Delta MERGE ledger path
     (``ledger_update_auto``) where claim+output can share one transactional
     table. Output layout is ``gen=<id>/batch_id=<n>/FactDateKey=<d>/``;
     readers of ``output_dir`` see ``gen``/``batch_id`` as partition columns
@@ -696,6 +699,9 @@ def start_streaming_near_dup_gate(
     return writer.start()
 
 
+_GENERATION_MARKER = "__spark_graft_generation"
+
+
 def _generation_id(checkpoint_dir: str, storage: StateStorage | None = None) -> str:
     """Stable unique id for THIS incarnation of a stream, persisted as a
     marker object inside the checkpoint directory. Properties the sinks rely
@@ -722,12 +728,228 @@ def _generation_id(checkpoint_dir: str, storage: StateStorage | None = None) -> 
 
     storage = storage or storage_for(checkpoint_dir)
     storage.ensure_dir(checkpoint_dir)
-    marker = f"{checkpoint_dir.rstrip('/')}/__spark_graft_generation"
+    marker = f"{checkpoint_dir.rstrip('/')}/{_GENERATION_MARKER}"
     storage.put_if_absent(marker, uuid.uuid4().hex[:12])
     val = (storage.get_text(marker) or "").strip()
     if not val:
         raise RuntimeError(f"empty generation marker at {marker}")
     return val
+
+
+# --------------------------------------------------------------------------- #
+# Ledger maintenance: reclaim claims orphaned by checkpoint replacement
+# --------------------------------------------------------------------------- #
+
+# The ledger-gated sink's claim tags: <12-hex generation id>-b<batch id>.
+# Rows whose writer_id does not match (batch ledger_update rows, rows
+# already retagged "reclaimed:<tag>") are never reclaim candidates.
+_SINK_TAG_RE = r"^([0-9a-f]{12})-b(\d+)$"
+_RECLAIMED_PREFIX = "reclaimed:"
+
+
+def _live_generations(
+    checkpoint_dirs, storage: StateStorage | None = None
+) -> set[str]:
+    """Generation ids of the LIVE stream incarnations: the marker value in
+    each listed checkpoint dir (read-only — never creates a marker the way
+    :func:`_generation_id` does). A dir without a marker contributes
+    nothing: its stream has never started a ledger-gated sink, so no claims
+    can carry its identity."""
+    gens: set[str] = set()
+    for d in checkpoint_dirs:
+        st = storage or storage_for(d)
+        val = (st.get_text(f"{d.rstrip('/')}/{_GENERATION_MARKER}") or "").strip()
+        if val:
+            gens.add(val)
+    return gens
+
+
+def _finish_interrupted_ledger_swap(ledger_path: str) -> None:
+    """Recover the atomic ledger-rewrite swap if a previous reclaim run died
+    mid-sequence (write NEW → rename L→OLD → rename NEW→L → rmtree OLD).
+    Every crash point leaves a state this resolves without losing a row:
+    OLD present + L absent → finish (NEW→L) or roll back (OLD→L); OLD
+    present + L present → the swap completed, drop OLD; NEW present + L
+    present + OLD absent → stale pre-swap scratch, drop NEW."""
+    import os as _os
+    import shutil as _shutil
+
+    new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
+    if _os.path.exists(old) and not _os.path.exists(ledger_path):
+        if _os.path.exists(new):
+            _os.rename(new, ledger_path)  # crashed between the two renames
+            _shutil.rmtree(old, ignore_errors=True)
+        else:
+            _os.rename(old, ledger_path)  # roll back to the pre-swap ledger
+        return
+    if _os.path.exists(old):
+        _shutil.rmtree(old, ignore_errors=True)  # swap done, GC missed
+    if _os.path.exists(new):
+        _shutil.rmtree(new, ignore_errors=True)  # scratch from a dead run
+
+
+def reclaim_orphaned_claims(
+    spark: SparkSession,
+    ledger_path: str,
+    output_dir: str,
+    live_checkpoint_dirs=(),
+    mode: str = "release",
+    events: DataFrame | None = None,
+    quarantine_dir: str | None = None,
+    storage: StateStorage | None = None,
+) -> DataFrame:
+    """Maintenance job closing the ledger-gated sink's one loss window
+    (:func:`start_ledger_gated_fact_sink` crash-safety docstring): a batch
+    that CLAIMED keys and died before committing output, followed by a
+    checkpoint replacement, leaves its claims live in the ledger under a
+    dead generation tag — the events are gated out of every future replay
+    yet landed in no output.
+
+    An orphaned claim is a ledger row whose ``writer_id`` tag (a) belongs
+    to no generation in ``live_checkpoint_dirs`` (the marker each live
+    stream persists — a live generation's claimed-but-unwritten batch is
+    that incarnation's own retry to recover, never ours to touch) and (b)
+    has no committed output: Spark's commit protocol stamps ``_SUCCESS``
+    in ``output_dir/gen=<g>/batch_id=<n>`` only after the batch's
+    overwrite completes, so its absence is exactly "died before writing".
+    Uncommitted partial output files under an orphaned tag's directory are
+    deleted (they are protocol garbage a raw parquet reader would
+    otherwise surface).
+
+    ``mode="release"`` deletes the orphaned claim rows: the next replay of
+    the source through the (new-generation) stream re-admits those events
+    exactly once — the natural recovery when the source is replayable.
+    ``mode="quarantine"`` re-emits the events instead: ``events`` (the
+    replayable source re-run through the batch ingest graph — normalized
+    facts carrying at least the physical row columns, unique per EventID)
+    is joined to the orphaned keys and written to
+    ``quarantine_dir/reclaim_tag=<tag>/`` for operator triage, then the
+    claims are RETAGGED ``reclaimed:<tag>`` — still protective (the gate
+    keeps suppressing those keys, so nothing double-emits) but no longer
+    orphan candidates. Both modes are idempotent: re-running after a crash
+    at any point re-derives the same orphan set and the quarantine write
+    is a per-tag dynamic-partition overwrite, so a reclaimed event lands
+    in quarantine exactly once.
+
+    The ledger rewrite (a filter/retag needs row deletion parquet cannot
+    do in place) is a full scan → scratch dir → two-rename swap under the
+    :class:`~..operators.dedup.LedgerLock`, with every crash point
+    recoverable by :func:`_finish_interrupted_ledger_swap` at the next
+    run — never delete-then-rewrite at the live path. Claims appended by
+    a concurrent (locked) sink between orphan identification and the
+    rewrite are preserved: the rewrite re-reads the ledger under the lock
+    and only drops/retags the identified tags, which no live writer can
+    ever re-issue (generation ids are unique per incarnation). Run it with
+    the FULL list of live checkpoint dirs for every pipeline sharing the
+    ledger — omitting one makes its in-flight batch look orphaned. POSIX
+    ledger paths only (the rename swap); on an object store use the Delta
+    MERGE ledger (``ledger_update_auto``) where claim+output share one
+    transactional table and this window does not exist.
+
+    Returns the reclaimed claim rows (pk, seenAt, expiresAt, writer_id),
+    materialized before the rewrite. Driver-side state is the distinct
+    dead TAG list (generations × batches — operations-scale, never
+    data-scale; the claims themselves stay distributed).
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators.dedup import LedgerLock
+    from ..operators.materialize import pin
+
+    if mode not in ("release", "quarantine"):
+        raise ValueError(f"mode must be 'release' or 'quarantine', got {mode!r}")
+    if mode == "quarantine" and (events is None or quarantine_dir is None):
+        raise ValueError("mode='quarantine' requires events= and quarantine_dir=")
+    if "://" in ledger_path:
+        raise NotImplementedError(
+            "reclaim_orphaned_claims rewrites the ledger via a POSIX rename "
+            "swap; for object-store ledgers use the Delta/Iceberg MERGE "
+            "ledger (ledger_update_auto), which closes this loss window "
+            "transactionally instead"
+        )
+
+    ledger_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
+    live_gens = _live_generations(live_checkpoint_dirs, storage)
+    out_storage = storage or storage_for(output_dir)
+
+    with LedgerLock(ledger_path):
+        _finish_interrupted_ledger_swap(ledger_path)
+    try:
+        ledger = spark.read.schema(ledger_schema).parquet(ledger_path)
+    except Exception:  # no ledger yet — nothing to reclaim
+        return spark.createDataFrame([], ledger_schema)
+
+    # Dead-generation sink tags, then keep only those without committed
+    # output. The distinct-tag collect is bounded driver-side state.
+    tagged = ledger.withColumn(
+        "__gen", F.regexp_extract("writer_id", _SINK_TAG_RE, 1)
+    ).withColumn("__bid", F.regexp_extract("writer_id", _SINK_TAG_RE, 2))
+    dead = tagged.filter(F.col("__gen") != "")
+    if live_gens:
+        dead = dead.filter(~F.col("__gen").isin(sorted(live_gens)))
+    cand = [
+        (r["writer_id"], r["__gen"], r["__bid"])
+        for r in dead.select("writer_id", "__gen", "__bid").distinct().collect()
+    ]
+    orphan_tags = []
+    for tag, g, bid in sorted(cand):
+        batch_out = f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}"
+        if "_SUCCESS" not in out_storage.list_dir(batch_out):
+            orphan_tags.append(tag)
+    if not orphan_tags:
+        return spark.createDataFrame([], ledger_schema)
+
+    # Materialize the orphan rows BEFORE any rewrite touches the files
+    # beneath the plan (required pin: correctness, not perf).
+    orphans = pin(
+        ledger.filter(F.col("writer_id").isin(orphan_tags)), required=True
+    )
+
+    if mode == "quarantine":
+        # Idempotent re-emission: per-tag dynamic-partition overwrite, so a
+        # crash-rerun rewrites the same partitions instead of appending.
+        keys = orphans.select(
+            F.col("pk").alias("EventID"), F.col("writer_id").alias("reclaim_tag")
+        )
+        matched = (
+            to_physical_rows(events)
+            .dropDuplicates(["EventID"])
+            .join(keys, "EventID")
+        )
+        (
+            matched.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("reclaim_tag")
+            .parquet(quarantine_dir)
+        )
+
+    with LedgerLock(ledger_path):
+        # Re-read under the lock: claims appended since identification are
+        # preserved verbatim (their tags are live by construction).
+        current = spark.read.schema(ledger_schema).parquet(ledger_path)
+        if mode == "release":
+            rewritten = current.filter(~F.col("writer_id").isin(orphan_tags))
+        else:
+            rewritten = current.withColumn(
+                "writer_id",
+                F.when(
+                    F.col("writer_id").isin(orphan_tags),
+                    F.concat(F.lit(_RECLAIMED_PREFIX), F.col("writer_id")),
+                ).otherwise(F.col("writer_id")),
+            )
+        new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
+        rewritten.write.mode("overwrite").parquet(new)
+        _os.rename(ledger_path, old)
+        _os.rename(new, ledger_path)
+        _shutil.rmtree(old, ignore_errors=True)
+
+    # GC the orphans' uncommitted partial output (no _SUCCESS by
+    # definition) so raw readers of output_dir never see half a batch.
+    for tag in orphan_tags:
+        g, _, bid = tag.partition("-b")
+        out_storage.delete_tree(f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}")
+    return orphans
 
 
 def _read_latest_state(

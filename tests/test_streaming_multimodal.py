@@ -907,3 +907,221 @@ def test_batch_streaming_drift_parity(spark, tmp_path):
     assert streamed == batch
     # and the fixture is non-degenerate: some source must actually drop docs
     assert any(kept < n for n, kept, _ in batch.values())
+
+
+# --------------------------------------------------------------------------- #
+# Orphaned-claims reclaim job (the ledger sink's one loss window, closed)
+# --------------------------------------------------------------------------- #
+
+def _build_orphan_scenario(spark, tmp_path):
+    """Reproduce the documented loss window with a REAL mid-batch kill:
+
+    1. instance 1 (ckpt1, generation g1) drains event 10 — batch 0 claims
+       AND commits output (a dead-but-committed tag the reclaim must skip);
+    2. event 1 arrives; the sink's output projection is patched to raise,
+       so batch 1 CLAIMS ALOWARE:1 in the ledger and dies before writing
+       any output — exactly the kill-between-claim-and-write crash point;
+    3. the checkpoint is replaced (rm -rf ckpt1, fresh ckpt2 → g1 is dead);
+    4. instance 2 replays the full source: both events are gated out by the
+       live g1 claims — ALOWARE:1 is now in NO output. Returns the paths +
+       the dead generation id.
+    """
+    import datetime as _dt
+    import json as _json
+    import shutil as _shutil
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming import pipeline as _pl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "fact"
+    ledger = str(tmp_path / "ledger")
+    now_epoch = int(_dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp())
+
+    def run_instance(ckpt_name, expect_fail=False):
+        stream = _pl.read_envelope_stream(spark, str(landing))
+        fact = normalize_webhooks(_pl.envelopes_to_webhook_shape(stream))
+        q = _pl.start_ledger_gated_fact_sink(
+            fact, ledger, str(out), str(tmp_path / ckpt_name),
+            available_now=True, now_epoch=now_epoch,
+        )
+        if expect_fail:
+            with pytest.raises(Exception):
+                q.awaitTermination(180)
+        else:
+            q.awaitTermination(180)
+
+    # 1. committed batch 0 of generation g1
+    with open(landing / "a.json", "w") as f:
+        f.write(_json.dumps(_envelope(10)) + "\n")
+    run_instance("ckpt1")
+    g1 = (
+        (tmp_path / "ckpt1" / "__spark_graft_generation").read_text().strip()
+    )
+
+    # 2. batch 1 claims ALOWARE:1 then dies before writing output
+    with open(landing / "b.json", "w") as f:
+        f.write(_json.dumps(_envelope(1)) + "\n")
+    real_proj = _pl.to_physical_rows
+
+    def _boom(df):
+        raise RuntimeError("injected crash between claim and output write")
+
+    _pl.to_physical_rows = _boom
+    try:
+        run_instance("ckpt1", expect_fail=True)
+    finally:
+        _pl.to_physical_rows = real_proj
+    claimed = {
+        r.pk: r.writer_id for r in spark.read.parquet(ledger).collect()
+    }
+    assert claimed["ALOWARE:1"] == f"{g1}-b1"  # claim durable, tag dead-to-be
+
+    # 3. checkpoint replacement kills generation g1
+    _shutil.rmtree(tmp_path / "ckpt1")
+
+    # 4. the new incarnation replays everything; the dead claims gate both
+    # events out — ALOWARE:1 is lost (the documented window)
+    run_instance("ckpt2")
+    emitted = sorted(r.EventID for r in spark.read.parquet(str(out)).collect())
+    assert emitted == ["ALOWARE:10"]  # batch-0 output survives; event 1 lost
+
+    batch_events = _pl.streaming_fact_pipeline(
+        spark.read.schema(_pl.ENVELOPE_JSON_SCHEMA).json(str(landing))
+    )
+    return {
+        "ledger": ledger,
+        "out": str(out),
+        "ckpt2": str(tmp_path / "ckpt2"),
+        "g1": g1,
+        "events": batch_events,
+        "landing": landing,
+        "now_epoch": now_epoch,
+        "run_instance": run_instance,
+    }
+
+
+def test_reclaim_orphaned_claims_quarantine_exactly_once(spark, tmp_path):
+    """VERDICT-prescribed scenario: kill between claim and output write,
+    replace the checkpoint, reclaim in quarantine mode — the orphaned event
+    lands in quarantine EXACTLY once (idempotent under rerun), the
+    dead-but-committed tag is untouched, and the retagged claim still
+    suppresses the key on future replays."""
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+
+    reclaimed = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=s["events"], quarantine_dir=qdir,
+    )
+    rows = reclaimed.collect()
+    assert [(r.pk, r.writer_id) for r in rows] == [
+        ("ALOWARE:1", f"{s['g1']}-b1")
+    ]
+    quarantined = spark.read.parquet(qdir).collect()
+    assert [(r.EventID, r.reclaim_tag) for r in quarantined] == [
+        ("ALOWARE:1", f"{s['g1']}-b1")
+    ]
+    # ledger: orphan retagged (still protective), committed claim untouched
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"reclaimed:{s['g1']}-b1"
+    assert led["ALOWARE:10"] == f"{s['g1']}-b0"
+    # rerun is a no-op: same quarantine content, nothing newly reclaimed
+    again = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=s["events"], quarantine_dir=qdir,
+    )
+    assert again.count() == 0
+    assert spark.read.parquet(qdir).count() == 1
+    # retagged claim still gates: a fresh replay emits nothing new
+    s["run_instance"]("ckpt3")
+    emitted = sorted(r.EventID for r in spark.read.parquet(s["out"]).collect())
+    assert emitted == ["ALOWARE:10"]
+
+
+def test_reclaim_orphaned_claims_release_readmits_once(spark, tmp_path):
+    """Release mode: the orphaned claim rows are deleted, so the next replay
+    re-admits the lost event exactly once; the committed claim keeps
+    suppressing its key."""
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    reclaimed = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]], mode="release"
+    )
+    assert [r.pk for r in reclaimed.collect()] == ["ALOWARE:1"]
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert "ALOWARE:1" not in led
+    assert led["ALOWARE:10"] == f"{s['g1']}-b0"
+
+    s["run_instance"]("ckpt3")
+    emitted = sorted(r.EventID for r in spark.read.parquet(s["out"]).collect())
+    assert emitted == ["ALOWARE:1", "ALOWARE:10"]
+    # and only once: a further replay adds nothing (ckpt3's claim is live)
+    s["run_instance"]("ckpt4")
+    emitted = sorted(r.EventID for r in spark.read.parquet(s["out"]).collect())
+    assert emitted == ["ALOWARE:1", "ALOWARE:10"]
+
+
+def test_finish_interrupted_ledger_swap_states(tmp_path):
+    """Every crash point of the rename swap resolves without losing a row:
+    (a) between the two renames → finish with NEW; (b) before any rename →
+    stale NEW dropped; (c) after the swap, GC missed → OLD dropped; (d)
+    OLD only (NEW lost) → roll back to OLD."""
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        _finish_interrupted_ledger_swap,
+    )
+
+    def mk(path, payload):
+        os.makedirs(path)
+        with open(os.path.join(path, "part-0"), "w") as f:
+            f.write(payload)
+
+    def payload(path):
+        with open(os.path.join(path, "part-0")) as f:
+            return f.read()
+
+    # (a) crashed between renames: OLD + NEW, no live dir
+    led = str(tmp_path / "a" / "ledger")
+    os.makedirs(tmp_path / "a")
+    mk(led + ".reclaim-old", "old")
+    mk(led + ".reclaim-new", "new")
+    _finish_interrupted_ledger_swap(led)
+    assert payload(led) == "new"
+    assert not os.path.exists(led + ".reclaim-old")
+    assert not os.path.exists(led + ".reclaim-new")
+
+    # (b) crashed before any rename: live + stale NEW
+    led = str(tmp_path / "b" / "ledger")
+    mk(led, "live")
+    mk(led + ".reclaim-new", "new")
+    _finish_interrupted_ledger_swap(led)
+    assert payload(led) == "live"
+    assert not os.path.exists(led + ".reclaim-new")
+
+    # (c) crashed after swap, before GC: live + OLD
+    led = str(tmp_path / "c" / "ledger")
+    mk(led, "new")
+    mk(led + ".reclaim-old", "old")
+    _finish_interrupted_ledger_swap(led)
+    assert payload(led) == "new"
+    assert not os.path.exists(led + ".reclaim-old")
+
+    # (d) OLD only: roll back
+    led = str(tmp_path / "d" / "ledger")
+    os.makedirs(tmp_path / "d")
+    mk(led + ".reclaim-old", "old")
+    _finish_interrupted_ledger_swap(led)
+    assert payload(led) == "old"
+    assert not os.path.exists(led + ".reclaim-old")
