@@ -9,7 +9,11 @@ Usage: python tools/merge_flip_runs.py /tmp/flip_run1.json
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probe_common import ambient_suspect  # noqa: E402
 
 run1_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flip_run1.json"
 LADDER = "/root/repo/SCALE_LADDER.json"
@@ -31,9 +35,16 @@ for key in sorted(set(run1) & set(run2)):
             "wall_sec": min(walls),
             "walls": walls,  # [run1 exact-first, run2 bloom-first]
             "events_per_sec": int(cell["events_per_batch"] / min(walls)),
+            # third-run falsification rule (probe_common): >1.5x self-
+            # disagreement = ambient contamination; a third pass is
+            # required before any rule cites this strategy's wall.
+            "ambient_suspect": ambient_suspect(walls),
         }
     cell["pregate_vs_exact_ratio"] = round(
         cell["bloom_pregate"]["wall_sec"] / cell["exact"]["wall_sec"], 3
+    )
+    cell["ambient_suspect"] = any(
+        cell[s]["ambient_suspect"] for s in ("exact", "bloom_pregate")
     )
     merged[key] = cell
 

@@ -45,6 +45,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from probe_common import ambient_suspect  # noqa: E402
 
 RUNGS = ("sf1", "sf100")
 SETTINGS = ("literal", "bucketed", "auto")
@@ -195,6 +198,10 @@ def main() -> None:
             if walls:
                 summary[f"{setting}_min_sec"] = min(walls)
                 summary[f"{setting}_walls"] = walls
+                # third-run falsification rule (probe_common): >1.5x self-
+                # disagreement = ambient contamination — third pass needed
+                # before a rule may cite this setting's wall.
+                summary[f"{setting}_ambient_suspect"] = ambient_suspect(walls)
         choices = {
             c["auto_choice"] for c in cells.values() if "auto_choice" in c
         }

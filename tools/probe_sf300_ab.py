@@ -44,6 +44,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from probe_common import ambient_suspect  # noqa: E402
 
 SF_DIR_DEFAULT = "/root/repo/scale_ladder/sf300"
 
@@ -182,6 +185,10 @@ def main() -> None:
         if walls:
             summary[f"{strategy}_min_sec"] = min(walls)
             summary[f"{strategy}_walls"] = walls
+            # third-run falsification rule (probe_common): a pair whose own
+            # walls disagree >1.5x is ambient-contaminated — no rule may
+            # cite it without a third fresh-process pass.
+            summary[f"{strategy}_ambient_suspect"] = ambient_suspect(walls)
     ranked = sorted(
         (v, k.removesuffix("_min_sec"))
         for k, v in summary.items()
@@ -189,6 +196,9 @@ def main() -> None:
     )
     if ranked:
         summary["wall_winner"] = ranked[0][1]
+        summary["wall_winner_ambient_suspect"] = summary.get(
+            f"{ranked[0][1]}_ambient_suspect", False
+        )
     _persist(cells, summary)
     print(json.dumps({"cells": cells, "summary": summary}, indent=1))
 
