@@ -569,6 +569,67 @@ class LedgerLock:
             pass
 
 
+def finish_interrupted_ledger_swap(ledger_path: str) -> None:
+    """Recover the atomic ledger-rewrite swap if a previous rewrite job died
+    mid-sequence (write NEW → rename L→OLD → rename NEW→L → rmtree OLD).
+    Every crash point leaves a state this resolves without losing a row:
+    OLD present + L absent → finish (NEW→L) or roll back (OLD→L); OLD
+    present + L present → the swap completed, drop OLD; NEW present + L
+    present + OLD absent → stale pre-swap scratch, drop NEW. Call under the
+    :class:`LedgerLock` (``rewrite_ledger_atomic`` does)."""
+    import os
+    import shutil
+
+    new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
+    if os.path.exists(old) and not os.path.exists(ledger_path):
+        if os.path.exists(new):
+            os.rename(new, ledger_path)  # crashed between the two renames
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, ledger_path)  # roll back to the pre-swap ledger
+        return
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)  # swap done, GC missed
+    if os.path.exists(new):
+        shutil.rmtree(new, ignore_errors=True)  # scratch from a dead run
+
+
+def rewrite_ledger_atomic(spark, ledger_path: str, transform, schema=None):
+    """Crash-safe IN-PLACE rewrite of a parquet ledger (row deletion /
+    mutation parquet cannot do in place): under the :class:`LedgerLock`,
+    recover any interrupted prior swap, read the current ledger
+    (``schema`` optional — omit to preserve whatever columns the ledger
+    carries), apply ``transform(df) -> df``, write the result to a scratch
+    dir, then publish it with a two-rename swap. A crash at ANY point is
+    recoverable by the next run's :func:`finish_interrupted_ledger_swap`
+    — the live path never holds a partially-written ledger the way a
+    delete-then-overwrite would. POSIX paths only (the rename swap); on
+    object stores use a Delta/Iceberg ledger where DELETE/MERGE are
+    transactional. Returns the rewritten DataFrame (reading the new
+    files). Used by TTL compaction (``sinks.compact_ledger``) and the
+    streaming orphan-reclaim job."""
+    import os
+    import shutil
+
+    if "://" in ledger_path:
+        raise NotImplementedError(
+            "rewrite_ledger_atomic publishes via a POSIX rename swap; for "
+            "object-store ledgers use a Delta/Iceberg ledger table where "
+            "row-level DELETE/MERGE are transactional"
+        )
+    with LedgerLock(ledger_path):
+        finish_interrupted_ledger_swap(ledger_path)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        rewritten = transform(reader.parquet(ledger_path))
+        new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
+        rewritten.write.mode("overwrite").parquet(new)
+        os.rename(ledger_path, old)
+        os.rename(new, ledger_path)
+        shutil.rmtree(old, ignore_errors=True)
+    final = spark.read.schema(schema) if schema is not None else spark.read
+    return final.parquet(ledger_path)
+
+
 def ledger_update_atomic(
     events: DataFrame,
     ledger_path: str,

@@ -124,11 +124,39 @@ def append_ledger(entries: DataFrame, path: str) -> None:
 
 
 def prune_ledger(spark: SparkSession, path: str, now_epoch: int) -> DataFrame:
-    """S5 ledger reader + TTL compaction: load the ledger table and drop
-    expired entries (ledger.repo.ts:16-27 existence check reads; DynamoDB
-    expires async within ~48h — here it is an explicit rewrite job)."""
+    """S5 ledger reader: load the ledger table and drop expired entries
+    (ledger.repo.ts:16-27 existence check reads; DynamoDB expires async
+    within ~48h). Read-only — the explicit rewrite job that actually
+    reclaims the storage is :func:`compact_ledger`."""
     live = spark.read.parquet(path).filter(F.col("expiresAt") >= F.lit(now_epoch))
     return live
+
+
+def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None) -> int:
+    """TTL compaction as an executable maintenance job (RUNBOOK.md "Ledger
+    lifecycle"): rewrite the ledger keeping only unexpired rows, via the
+    crash-safe locked scratch-write + two-rename swap
+    (``operators.dedup.rewrite_ledger_atomic`` — a crash at any point is
+    recoverable at the next run; the live path never holds a partial
+    ledger). Preserves every column the ledger carries (the streaming
+    sink's ``writer_id`` claim tags included — compaction must never turn
+    a live claim into a re-admittable key, and an expired claim is past
+    its protection window by definition). At 100 TB: the ledger is
+    TTL-bounded (14 days of keys), so the rewrite is one bounded scan;
+    partition production ledgers by expiry day and this collapses to
+    dropping whole partitions. Returns the number of expired rows
+    dropped."""
+    import time as _time
+
+    from .operators.dedup import rewrite_ledger_atomic
+
+    if now_epoch is None:
+        now_epoch = int(_time.time())
+    before = spark.read.parquet(path).count()
+    live = rewrite_ledger_atomic(
+        spark, path, lambda df: df.filter(F.col("expiresAt") >= F.lit(now_epoch))
+    )
+    return before - live.count()
 
 
 def push_rows_rest(

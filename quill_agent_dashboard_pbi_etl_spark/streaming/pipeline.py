@@ -764,30 +764,6 @@ def _live_generations(
     return gens
 
 
-def _finish_interrupted_ledger_swap(ledger_path: str) -> None:
-    """Recover the atomic ledger-rewrite swap if a previous reclaim run died
-    mid-sequence (write NEW → rename L→OLD → rename NEW→L → rmtree OLD).
-    Every crash point leaves a state this resolves without losing a row:
-    OLD present + L absent → finish (NEW→L) or roll back (OLD→L); OLD
-    present + L present → the swap completed, drop OLD; NEW present + L
-    present + OLD absent → stale pre-swap scratch, drop NEW."""
-    import os as _os
-    import shutil as _shutil
-
-    new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
-    if _os.path.exists(old) and not _os.path.exists(ledger_path):
-        if _os.path.exists(new):
-            _os.rename(new, ledger_path)  # crashed between the two renames
-            _shutil.rmtree(old, ignore_errors=True)
-        else:
-            _os.rename(old, ledger_path)  # roll back to the pre-swap ledger
-        return
-    if _os.path.exists(old):
-        _shutil.rmtree(old, ignore_errors=True)  # swap done, GC missed
-    if _os.path.exists(new):
-        _shutil.rmtree(new, ignore_errors=True)  # scratch from a dead run
-
-
 def reclaim_orphaned_claims(
     spark: SparkSession,
     ledger_path: str,
@@ -832,10 +808,11 @@ def reclaim_orphaned_claims(
     in quarantine exactly once.
 
     The ledger rewrite (a filter/retag needs row deletion parquet cannot
-    do in place) is a full scan → scratch dir → two-rename swap under the
-    :class:`~..operators.dedup.LedgerLock`, with every crash point
-    recoverable by :func:`_finish_interrupted_ledger_swap` at the next
-    run — never delete-then-rewrite at the live path. Claims appended by
+    do in place) goes through ``operators.dedup.rewrite_ledger_atomic`` —
+    a full scan → scratch dir → two-rename swap under the ``LedgerLock``,
+    with every crash point recoverable by
+    ``finish_interrupted_ledger_swap`` at the next run — never
+    delete-then-rewrite at the live path. Claims appended by
     a concurrent (locked) sink between orphan identification and the
     rewrite are preserved: the rewrite re-reads the ledger under the lock
     and only drops/retags the identified tags, which no live writer can
@@ -851,10 +828,11 @@ def reclaim_orphaned_claims(
     dead TAG list (generations × batches — operations-scale, never
     data-scale; the claims themselves stay distributed).
     """
-    import os as _os
-    import shutil as _shutil
-
-    from ..operators.dedup import LedgerLock
+    from ..operators.dedup import (
+        LedgerLock,
+        finish_interrupted_ledger_swap,
+        rewrite_ledger_atomic,
+    )
     from ..operators.materialize import pin
 
     if mode not in ("release", "quarantine"):
@@ -874,7 +852,7 @@ def reclaim_orphaned_claims(
     out_storage = storage or storage_for(output_dir)
 
     with LedgerLock(ledger_path):
-        _finish_interrupted_ledger_swap(ledger_path)
+        finish_interrupted_ledger_swap(ledger_path)
     try:
         ledger = spark.read.schema(ledger_schema).parquet(ledger_path)
     except Exception:  # no ledger yet — nothing to reclaim
@@ -924,25 +902,22 @@ def reclaim_orphaned_claims(
             .parquet(quarantine_dir)
         )
 
-    with LedgerLock(ledger_path):
-        # Re-read under the lock: claims appended since identification are
-        # preserved verbatim (their tags are live by construction).
-        current = spark.read.schema(ledger_schema).parquet(ledger_path)
-        if mode == "release":
-            rewritten = current.filter(~F.col("writer_id").isin(orphan_tags))
-        else:
-            rewritten = current.withColumn(
+    # The rewrite re-reads the ledger under the lock: claims appended since
+    # identification are preserved verbatim (their tags are live by
+    # construction — no live writer can ever re-issue a dead tag).
+    if mode == "release":
+        def _transform(current: DataFrame) -> DataFrame:
+            return current.filter(~F.col("writer_id").isin(orphan_tags))
+    else:
+        def _transform(current: DataFrame) -> DataFrame:
+            return current.withColumn(
                 "writer_id",
                 F.when(
                     F.col("writer_id").isin(orphan_tags),
                     F.concat(F.lit(_RECLAIMED_PREFIX), F.col("writer_id")),
                 ).otherwise(F.col("writer_id")),
             )
-        new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
-        rewritten.write.mode("overwrite").parquet(new)
-        _os.rename(ledger_path, old)
-        _os.rename(new, ledger_path)
-        _shutil.rmtree(old, ignore_errors=True)
+    rewrite_ledger_atomic(spark, ledger_path, _transform, schema=ledger_schema)
 
     # GC the orphans' uncommitted partial output (no _SUCCESS by
     # definition) so raw readers of output_dir never see half a batch.

@@ -128,6 +128,36 @@ def test_ledger_bootstrap_append_prune(spark, tmp_path):
     assert {r.pk for r in live.collect()} == {"k2"}
 
 
+def test_compact_ledger_rewrites_in_place(spark, tmp_path):
+    """TTL compaction actually reclaims storage: expired rows are gone from
+    the files at the SAME path, extra columns (the streaming sink's
+    writer_id claim tags) survive verbatim, rerun is a no-op, and the
+    ledger lock file is released."""
+    import datetime as dt
+    import os
+
+    path = str(tmp_path / "ledger")
+    rows = spark.createDataFrame(
+        [
+            ("k1", dt.datetime(2024, 1, 1), 100, "aaaabbbbcccc-b0"),
+            ("k2", dt.datetime(2024, 1, 2), 900, "aaaabbbbcccc-b1"),
+            ("k3", dt.datetime(2024, 1, 3), 901, None),
+        ],
+        "pk string, seenAt timestamp, expiresAt long, writer_id string",
+    )
+    rows.write.mode("overwrite").parquet(path)
+
+    dropped = sinks.compact_ledger(spark, path, now_epoch=500)
+    assert dropped == 1
+    got = {r.pk: r.writer_id for r in spark.read.parquet(path).collect()}
+    assert got == {"k2": "aaaabbbbcccc-b1", "k3": None}
+    # idempotent; no scratch/lock debris left behind
+    assert sinks.compact_ledger(spark, path, now_epoch=500) == 0
+    assert not os.path.exists(path + ".reclaim-new")
+    assert not os.path.exists(path + ".reclaim-old")
+    assert not os.path.exists(path + ".lock")
+
+
 def test_push_rows_rest_chunking(spark):
     """K1 REST push shape: ≤ max rows per POST, all rows delivered."""
     df = spark.createDataFrame([(i,) for i in range(25)], "id long").coalesce(2)

@@ -1079,8 +1079,8 @@ def test_finish_interrupted_ledger_swap_states(tmp_path):
     OLD only (NEW lost) → roll back to OLD."""
     import os
 
-    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
-        _finish_interrupted_ledger_swap,
+    from quill_agent_dashboard_pbi_etl_spark.operators.dedup import (
+        finish_interrupted_ledger_swap as _finish_interrupted_ledger_swap,
     )
 
     def mk(path, payload):
