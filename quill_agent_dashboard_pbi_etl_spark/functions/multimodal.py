@@ -8,13 +8,14 @@ materializing.
 
 Codec support is two-tier. ``decode_asset`` REALLY decodes the formats the
 Python stdlib + numpy can parse — PCM WAV (``wave``), uncompressed 24-bit
-BMP, binary PPM (``struct``), non-interlaced 8-bit RGB/RGBA PNG (``zlib``
-inflate + full None/Sub/Up/Average/Paeth unfiltering), and baseline
-sequential JFIF JPEG (T.81 Huffman + IDCT, :mod:`.jpeg`) — and raises
-``NotImplementedError`` for formats needing external codecs (MP4 needs
-pyav, absent in this container) or profiles beyond the built-ins (palette/
-16-bit/interlaced PNG, progressive/subsampled JPEG); that raise is the
-production-decoder hook.
+BMP, binary PPM (``struct``), PNG across the FULL profile surface the spec
+defines (all five color types incl. palette and grayscale, bit depths
+1-16, Adam7 interlace; ``zlib`` inflate + full None/Sub/Up/Average/Paeth
+unfiltering), and baseline sequential JFIF JPEG (T.81 Huffman + IDCT,
+:mod:`.jpeg`) — and raises ``NotImplementedError`` for formats needing
+external codecs (MP4 needs pyav, absent in this container) or JPEG
+profiles beyond baseline sequential (progressive/arithmetic); that raise
+is the production-decoder hook.
 ``fake_decode`` remains the dependency-free stand-in for pipelines over
 arbitrary payloads. The Spark-side plumbing (schemas, Arrow batch iteration,
 partitioning) is identical for both and tested end-to-end.
@@ -344,26 +345,106 @@ def _unfilter_scanlines(
     return out
 
 
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step). Every
+# pixel belongs to exactly one pass, so channel SUMS over the passes equal
+# the sums over the de-interlaced image — the mean-RGB feature contract
+# never needs pixel re-positioning.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# Samples per pixel and legal bit depths per color type (PNG spec §11.2.2).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_pass_dims(width: int, height: int, p: int) -> tuple[int, int]:
+    xs, ys, xstep, ystep = _ADAM7[p]
+    return (
+        max(0, (width - xs + xstep - 1) // xstep),
+        max(0, (height - ys + ystep - 1) // ystep),
+    )
+
+
+def _png_subimage_rgb_sums(
+    mat: "np.ndarray",
+    width: int,
+    color_type: int,
+    bit_depth: int,
+    palette: "np.ndarray | None",
+) -> tuple["np.ndarray", int]:
+    """Unfiltered scanline bytes of one (sub)image → (RGB channel sums on
+    the 0-255 scale, pixel count). All lanes are whole-matrix numpy: 16-bit
+    samples recombine as big-endian pairs and rescale by /257 (65535→255);
+    sub-byte gray/palette samples unpack MSB-first via ``np.unpackbits``;
+    palette indices gather through the PLTE matrix; gray replicates to the
+    three channels; alpha is excluded (the RGB/RGBA parity contract).
+    Integer-valued float64 sums are exact below 2^53."""
+    ch = _PNG_CHANNELS[color_type]
+    if bit_depth == 16:
+        arr = mat.reshape(mat.shape[0], -1).astype(np.float64)
+        px = ((arr[:, 0::2] * 256.0 + arr[:, 1::2]) / 257.0).reshape(-1, ch)
+    elif bit_depth == 8:
+        px = mat.reshape(-1, ch).astype(np.float64)
+    else:  # 1/2/4-bit gray values or palette indices, packed MSB-first
+        bits = np.unpackbits(mat, axis=1)
+        groups = bits[:, : (bits.shape[1] // bit_depth) * bit_depth].reshape(
+            mat.shape[0], -1, bit_depth
+        )
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+        vals = (groups * weights).sum(axis=2)[:, :width].astype(np.float64)
+        if color_type == 0:  # spec sample scaling: max sample → 255
+            vals *= 255.0 / ((1 << bit_depth) - 1)
+        px = vals.reshape(-1, 1)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = px[:, 0].astype(np.int64)
+        if idx.size and int(idx.max()) >= palette.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = palette[idx]
+    elif color_type in (0, 4):
+        g = px[:, 0]
+        rgb = np.stack([g, g, g], axis=1)
+    else:
+        rgb = px[:, :3]
+    return rgb.sum(axis=0), rgb.shape[0]
+
+
 def _decode_png(payload: bytes) -> tuple[list[float], int]:
-    """Non-interlaced 8-bit truecolor PNG (color type 2 RGB / 6 RGBA) →
-    ([mean_r, mean_g, mean_b], 1), stdlib + numpy only.
+    """PNG → ([mean_r, mean_g, mean_b], 1), stdlib + numpy only, covering
+    the FULL profile surface the spec defines: all five color types
+    (grayscale, truecolor, palette, gray+alpha, RGBA), every legal bit
+    depth (1/2/4/8/16), and both interlace methods (none / Adam7).
 
     A real decoder, not a sniffer: chunk CRCs are verified (zlib.crc32),
     IDAT fragments are concatenated and inflated as one zlib stream, and
     every scanline filter the spec defines (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) is unfiltered byte-exactly — vectorized per row where the
-    spec's data dependencies allow (see :func:`_unfilter_scanlines`).
+    spec's data dependencies allow (see :func:`_unfilter_scanlines`;
+    filter offsets use the spec's bytes-per-pixel, so 16-bit and RGBA
+    strides unfilter with the same kernels). Adam7 streams decode pass by
+    pass; because every pixel is in exactly one pass, the mean-RGB
+    contract needs only per-pass channel sums, never de-interleaving.
     Alpha is parsed but excluded from the channel means so RGB and RGBA
     containers of the same pixels featurize identically (matching the
-    BMP/PPM contract). Palette, 16-bit, grayscale, and interlaced PNGs
-    raise ``NotImplementedError`` — the same plug-in hook as JPEG/MP4.
-    Malformed payloads (truncated chunks/CRCs, corrupt deflate streams)
-    raise ``ValueError``, the same contract as the other codecs."""
+    BMP/PPM contract); 16-bit samples rescale by 1/257 so a ×257-widened
+    8-bit image featurizes identically to its 8-bit original. Malformed
+    payloads (truncated chunks/CRCs, corrupt deflate streams, illegal
+    IHDR combinations, missing PLTE) raise ``ValueError``, the same
+    contract as the other codecs."""
     if payload[:8] != _PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
+    palette = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -380,31 +461,65 @@ def _decode_png(payload: bytes) -> tuple[list[float], int]:
         if ctype == b"IHDR":
             width, height = struct.unpack_from(">II", data, 0)
             bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = (
+                np.frombuffer(data, dtype=np.uint8)
+                .reshape(-1, 3)
+                .astype(np.float64)
+            )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG profile beyond stdlib decoder (bit_depth={bit_depth}, "
-            f"color_type={color_type}, interlace={interlace}); plug PIL into "
-            "decode_asset"
+    if (
+        color_type not in _PNG_DEPTHS
+        or bit_depth not in _PNG_DEPTHS[color_type]
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"illegal PNG IHDR (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
         )
-    channels = 3 if color_type == 2 else 4
+    channels = _PNG_CHANNELS[color_type]
+    bpp = max(1, channels * bit_depth // 8)  # spec filter byte offset
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+
+    def sub_stride(w: int) -> int:
+        return (w * channels * bit_depth + 7) // 8
+
+    if interlace == 0:
+        passes = [(width, height)]
+    else:  # Adam7: empty passes contribute zero bytes (spec §8.2)
+        passes = [_png_pass_dims(width, height, p) for p in range(7)]
+    expected = sum((sub_stride(pw) + 1) * ph for pw, ph in passes if pw and ph)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data size mismatch")
     count = width * height
     if not count:
         return [0.0] * 3, 1
-    decoded = _unfilter_scanlines(raw, height, stride, channels)
-    return _mean_rgb_mat(decoded.reshape(-1, channels)[:, :3], count), 1
+    total = np.zeros(3, dtype=np.float64)
+    seen = 0
+    offset = 0
+    for pw, ph in passes:
+        if not pw or not ph:
+            continue
+        st = sub_stride(pw)
+        seg = raw[offset : offset + (st + 1) * ph]
+        offset += (st + 1) * ph
+        decoded = _unfilter_scanlines(seg, ph, st, bpp)
+        sums, n = _png_subimage_rgb_sums(decoded, pw, color_type, bit_depth, palette)
+        total += sums
+        seen += n
+    if seen != count:
+        raise ValueError("PNG pixel count mismatch")
+    return [float(s) / count / 255.0 for s in total], 1
 
 
 def _decode_jpeg(payload: bytes) -> tuple[list[float], int]:
@@ -578,6 +693,101 @@ def make_png_bytes(
         + _png_chunk(b"IDAT", zlib.compress(filtered.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def make_png_profile_bytes(
+    seed: int,
+    width: int = 8,
+    height: int = 8,
+    color_type: int = 2,
+    bit_depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Deterministic PNG across the FULL profile surface: any legal
+    (color_type, bit_depth) pair from the spec plus both interlace
+    methods. All rows use filter 0 — the five-filter variety is already
+    pinned by :func:`make_png_bytes`; THIS synthesizer exists so the
+    differential tests can pin every sample-layout lane (palette gather,
+    sub-byte unpack, 16-bit recombine, gray replicate, Adam7 pass walk)
+    against an equivalent rendering of the same pixels. Sample content
+    derives from the LCG stream; 16-bit samples are the 8-bit values
+    ×257, so an image and its widened twin must featurize identically."""
+    ch = _PNG_CHANNELS[color_type]
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"illegal PNG profile ({color_type}, {bit_depth})")
+    maxv = (1 << bit_depth) - 1
+    base = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)
+    plte = b""
+    if color_type == 3:
+        n_entries = 1 << bit_depth
+        plte = _lcg_bytes(seed + 1, 3 * n_entries)
+        samples = (
+            (base[: width * height] % n_entries)
+            .reshape(height, width, 1)
+            .astype(np.uint16)
+        )
+    elif color_type in (0, 4):
+        g = base[: width * height].reshape(height, width, 1).astype(np.uint16)
+        if bit_depth < 8:
+            g >>= 8 - bit_depth
+        elif bit_depth == 16:
+            g *= 257
+        samples = g
+        if color_type == 4:
+            samples = np.concatenate(
+                [samples, np.full((height, width, 1), maxv, dtype=np.uint16)],
+                axis=2,
+            )
+    else:
+        rgb = base[: width * height * 3].reshape(height, width, 3).astype(np.uint16)
+        if bit_depth == 16:
+            rgb = rgb * 257
+        samples = rgb
+        if color_type == 6:
+            samples = np.concatenate(
+                [samples, np.full((height, width, 1), maxv, dtype=np.uint16)],
+                axis=2,
+            )
+
+    def pack_rows(sub: "np.ndarray") -> bytes:
+        h_ = sub.shape[0]
+        flat = sub.reshape(h_, -1)
+        if bit_depth == 16:
+            inter = np.empty((h_, flat.shape[1] * 2), dtype=np.uint8)
+            inter[:, 0::2] = (flat >> 8).astype(np.uint8)
+            inter[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+            rows = inter
+        elif bit_depth == 8:
+            rows = flat.astype(np.uint8)
+        else:
+            bits = (
+                ((flat[..., None] >> np.arange(bit_depth - 1, -1, -1)) & 1)
+                .astype(np.uint8)
+                .reshape(h_, -1)
+            )
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.concatenate(
+                    [bits, np.zeros((h_, pad), dtype=np.uint8)], axis=1
+                )
+            rows = np.packbits(bits, axis=1)
+        return b"".join(b"\x00" + r.tobytes() for r in rows)
+
+    if interlace == 0:
+        raw = pack_rows(samples)
+    else:
+        raw = b"".join(
+            pack_rows(samples[ys::ystep, xs::xstep])
+            for xs, ys, xstep, ystep in _ADAM7
+            if samples[ys::ystep, xs::xstep].size
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    out = _PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
 
 
 def fake_decode(payload: bytes, modality: str) -> tuple[list[float], int]:

@@ -1,7 +1,8 @@
 """Real stdlib codec path for multimodal assets: WAV (wave module), BMP and
-PPM (struct), and non-interlaced 8-bit RGB/RGBA PNG (zlib + full scanline
-unfiltering) decode inside decode_asset, exercised both directly and through
-the mapInPandas pipeline (functions/multimodal.py)."""
+PPM (struct), and the FULL PNG profile surface (all five color types, bit
+depths 1-16, Adam7 interlace; zlib + full scanline unfiltering) decode
+inside decode_asset, exercised both directly and through the mapInPandas
+pipeline (functions/multimodal.py)."""
 
 import io
 import struct
@@ -99,11 +100,124 @@ def _png_with_ihdr(bit_depth: int, color_type: int, interlace: int) -> bytes:
     return b"\x89PNG\r\n\x1a\n" + chunk
 
 
-def test_png_unsupported_profiles_raise_hook():
-    # palette / 16-bit / interlaced PNGs are the plug-in hook, not a crash
-    for bit_depth, color_type, interlace in [(8, 3, 0), (16, 2, 0), (8, 2, 1)]:
-        with pytest.raises(NotImplementedError, match="PIL"):
+def test_png_illegal_ihdr_combinations_raise_valueerror():
+    # combinations the SPEC forbids are malformed payloads, not plug-in
+    # hooks (every legal profile now decodes — see the profile tests below)
+    for bit_depth, color_type, interlace in [
+        (4, 2, 0),   # truecolor below 8-bit
+        (16, 3, 0),  # 16-bit palette
+        (3, 0, 0),   # non-power-of-two depth
+        (8, 5, 0),   # undefined color type
+        (8, 2, 2),   # undefined interlace method
+    ]:
+        with pytest.raises(ValueError, match="IHDR"):
             decode_asset(_png_with_ihdr(bit_depth, color_type, interlace), "image")
+
+
+# ---- Full PNG profile surface (palette / gray / sub-byte / 16-bit / Adam7)
+
+import numpy as np
+
+from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
+    _lcg_bytes,
+    make_png_profile_bytes,
+)
+
+
+def _expected_means_gray(seed, width, height, bit_depth):
+    g = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)[
+        : width * height
+    ].astype(np.float64)
+    if bit_depth < 8:
+        g = np.floor(g / (1 << (8 - bit_depth))) * (255.0 / ((1 << bit_depth) - 1))
+    m = float(g.sum()) / (width * height) / 255.0
+    return [m, m, m]
+
+
+@pytest.mark.parametrize("bit_depth", [1, 2, 4, 8, 16])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_grayscale_all_depths(bit_depth, interlace):
+    payload = make_png_profile_bytes(
+        5, width=11, height=7, color_type=0, bit_depth=bit_depth, interlace=interlace
+    )
+    feats, frames = decode_asset(payload, "image")
+    assert frames == 1
+    assert feats == pytest.approx(_expected_means_gray(5, 11, 7, bit_depth), abs=1e-12)
+
+
+@pytest.mark.parametrize("bit_depth", [1, 2, 4, 8])
+def test_png_palette_matches_manual_gather(bit_depth):
+    width, height = 9, 6
+    payload = make_png_profile_bytes(
+        3, width=width, height=height, color_type=3, bit_depth=bit_depth
+    )
+    feats, _ = decode_asset(payload, "image")
+    n_entries = 1 << bit_depth
+    plte = np.frombuffer(_lcg_bytes(4, 3 * n_entries), dtype=np.uint8).reshape(-1, 3)
+    idx = (
+        np.frombuffer(_lcg_bytes(3, width * height * 3), dtype=np.uint8)[
+            : width * height
+        ]
+        % n_entries
+    )
+    exp = plte[idx].astype(np.float64).sum(axis=0) / (width * height) / 255.0
+    assert feats == pytest.approx(list(exp), abs=1e-12)
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+def test_png_16bit_featurizes_like_8bit(color_type):
+    """16-bit samples are the 8-bit values x257 → the /257 rescale must make
+    the widened image featurize IDENTICALLY to its 8-bit original."""
+    f8, _ = decode_asset(
+        make_png_profile_bytes(9, 10, 5, color_type=color_type, bit_depth=8), "image"
+    )
+    f16, _ = decode_asset(
+        make_png_profile_bytes(9, 10, 5, color_type=color_type, bit_depth=16), "image"
+    )
+    assert f16 == f8
+
+
+@pytest.mark.parametrize(
+    "color_type, bit_depth",
+    [(0, 1), (0, 8), (0, 16), (2, 8), (2, 16), (3, 4), (3, 8), (4, 8), (6, 8), (6, 16)],
+)
+def test_png_adam7_equals_noninterlaced(color_type, bit_depth):
+    """Every pixel is in exactly one Adam7 pass, so the interlaced rendering
+    of the same pixels must produce byte-identical channel sums. Dimensions
+    deliberately not multiples of 8, so several passes are ragged and pass
+    7-empty edge cases are exercised at width/height 1 too."""
+    for width, height in [(13, 9), (8, 8), (1, 1), (2, 3)]:
+        plain = make_png_profile_bytes(
+            21, width, height, color_type=color_type, bit_depth=bit_depth, interlace=0
+        )
+        adam = make_png_profile_bytes(
+            21, width, height, color_type=color_type, bit_depth=bit_depth, interlace=1
+        )
+        assert decode_asset(adam, "image") == decode_asset(plain, "image")
+
+
+def test_png_gray_alpha_matches_gray():
+    """Alpha is excluded from means: gray+alpha and plain gray of the same
+    samples featurize identically (the RGBA/RGB parity contract)."""
+    f0, _ = decode_asset(make_png_profile_bytes(2, 7, 7, color_type=0), "image")
+    f4, _ = decode_asset(make_png_profile_bytes(2, 7, 7, color_type=4), "image")
+    assert f4 == f0
+
+
+def test_png_palette_missing_plte_raises():
+    # a palette PNG whose PLTE chunk was stripped is malformed, not a hook
+    payload = make_png_profile_bytes(3, 4, 4, color_type=3, bit_depth=8)
+    # rebuild without the PLTE chunk
+    out = bytearray(payload[:8])
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype != b"PLTE":
+            out += payload[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_asset(bytes(out), "image")
 
 
 def test_png_corrupt_crc_raises():
