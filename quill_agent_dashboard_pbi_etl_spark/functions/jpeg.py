@@ -5,11 +5,13 @@ genuine JFIF baseline decoder (marker parse → Huffman entropy decode with
 byte-unstuffing and DC prediction → dequantize → 2-D IDCT → level shift →
 YCbCr→RGB) plus the matching encoder used by the deterministic asset
 synthesizer. Profile supported: 8-bit, single-scan sequential baseline,
-4:4:4 (no chroma subsampling), standard component layout (1 or 3
-components). Progressive scans, restart markers, subsampled chroma,
-arithmetic coding, and 12-bit precision raise ``NotImplementedError`` —
-the same PIL plug-in hook as the other codecs. Malformed streams raise
-``ValueError`` (the codec contract).
+standard component layout (1 or 3 components), ANY sampling layout with
+integer ratios — 4:4:4, 4:2:2, 4:2:0, 4:1:1 — decoded in T.81 MCU order
+with box-replication chroma upsampling (the encoder emits 4:4:4, 4:2:2
+and 4:2:0 with mean box downsampling). Progressive scans, restart
+markers, arithmetic coding, and 12-bit precision raise
+``NotImplementedError`` — the same PIL plug-in hook as the other codecs.
+Malformed streams raise ``ValueError`` (the codec contract).
 
 Quantization/Huffman tables are the T.81 Annex K examples (public spec
 material). JPEG is lossy, so unlike PNG the synthesizer round-trip is
@@ -232,81 +234,136 @@ def _magnitude(v: int) -> tuple[int, int]:
 # --- Encoder ---------------------------------------------------------------
 
 
-def forward_quantized_coefficients(rgb: "np.ndarray") -> list["np.ndarray"]:
+# (h_factor, v_factor) per component for the supported sampling layouts.
+SAMPLING_FACTORS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _plane_quantized_blocks(plane: "np.ndarray", qt: "np.ndarray") -> "np.ndarray":
+    """Level-shifted plane (dims multiples of 8) → (n_blocks, 64) int32
+    zigzag-quantized coefficients, blocks row-major, one einsum pass."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    q = coef / qt[None]
+    quant = np.sign(q) * np.floor(np.abs(q) + 0.5)  # half away from zero
+    return quant.astype(np.int32).reshape(-1, 64)[:, _Z]
+
+
+def forward_quantized_components(
+    rgb: "np.ndarray", subsampling: str = "444"
+) -> list["np.ndarray"]:
     """Encoder forward path up to (and including) quantization — the lossy
-    step. Returns one (n_blocks, 64) int32 zigzag-ordered coefficient array
-    per component (Y, Cb, Cr). Exposed separately because this is exactly
-    what the decoder's entropy layer must recover bit-for-bit
-    (:func:`decode_quantized_coefficients`); the exactness test closes the
+    step — for any supported sampling layout. Returns one (n_blocks, 64)
+    int32 zigzag-ordered coefficient array per component (Y, Cb, Cr),
+    blocks in row-major plane order. The image pads to the MCU grid
+    (16×16 for 4:2:0) by edge replication BEFORE chroma downsampling, so
+    the 2×2 / 1×2 chroma box averages never read past the image. This is
+    exactly what the decoder's entropy layer must recover bit-for-bit
+    (:func:`decode_quantized_components`); the exactness tests close the
     encoder↔decoder loop at the only boundary where equality is defined."""
+    if subsampling not in SAMPLING_FACTORS:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    factors = SAMPLING_FACTORS[subsampling]
+    hmax = max(hi for hi, _ in factors)
+    vmax = max(vi for _, vi in factors)
     h, w = rgb.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    r = rgb[..., 0].astype(np.float64)
-    g = rgb[..., 1].astype(np.float64)
-    b = rgb[..., 2].astype(np.float64)
+    ph, pw = -h % (8 * vmax), -w % (8 * hmax)
+    padded = np.pad(rgb, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    r = padded[..., 0].astype(np.float64)
+    g = padded[..., 1].astype(np.float64)
+    b = padded[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    ph, pw = -h % 8, -w % 8  # pad to 8×8 grid by edge replication
     comps = []
-    for plane, qt in ((y, QUANT_LUMA), (cb, QUANT_CHROMA), (cr, QUANT_CHROMA)):
-        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
-        bh, bw = p.shape[0] // 8, p.shape[1] // 8
-        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        q = coef / qt[None]
-        quant = np.sign(q) * np.floor(np.abs(q) + 0.5)  # half away from zero
-        comps.append(quant.astype(np.int32).reshape(-1, 64)[:, _Z])
+    for plane, qt, (hi, vi) in (
+        (y, QUANT_LUMA, factors[0]),
+        (cb, QUANT_CHROMA, factors[1]),
+        (cr, QUANT_CHROMA, factors[2]),
+    ):
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # standard box downsample (mean of fy×fx cell)
+            plane = plane.reshape(
+                plane.shape[0] // fy, fy, plane.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        comps.append(_plane_quantized_blocks(plane - 128.0, qt))
     return comps
 
 
-def encode_baseline_jpeg(rgb: "np.ndarray") -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, Annex K tables).
+def forward_quantized_coefficients(rgb: "np.ndarray") -> list["np.ndarray"]:
+    """The 4:4:4 forward path (historical surface; see
+    :func:`forward_quantized_components`)."""
+    return forward_quantized_components(rgb, "444")
 
-    Forward path is fully vectorized (:func:`forward_quantized_coefficients`:
-    JFIF RGB→YCbCr, all-blocks DCT via one einsum, integer quantization);
-    only the entropy coding walks blocks in Python (bit IO is inherently
-    sequential)."""
+
+def _encode_block(writer: "_BitWriter", zz, dc_tab, ac_tab, pred, ci) -> None:
+    """Entropy-code one zigzag block (DPCM DC + run/size AC, F.1.2)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t, bits = _magnitude(diff)
+    code, ln = dc_tab[t]
+    writer.write(code, ln)
+    if t:
+        writer.write(bits, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        t, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | t]
+        writer.write(code, ln)
+        writer.write(bits, t)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        writer.write(code, ln)
+
+
+def encode_baseline_jpeg(rgb: "np.ndarray", subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K tables), at
+    4:4:4 (default), 4:2:2, or 4:2:0 chroma sampling.
+
+    Forward path is fully vectorized (:func:`forward_quantized_components`:
+    JFIF RGB→YCbCr, chroma box downsample, all-blocks DCT via one einsum,
+    integer quantization); only the entropy coding walks blocks in Python
+    (bit IO is inherently sequential), interleaved in T.81 MCU order
+    (hi×vi luma blocks then one block per chroma component per MCU)."""
     h, w = rgb.shape[:2]
-    comps = forward_quantized_coefficients(rgb)
+    comps = forward_quantized_components(rgb, subsampling)
+    factors = SAMPLING_FACTORS[subsampling]
+    hmax = max(hi for hi, _ in factors)
+    vmax = max(vi for _, vi in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
     dc_tabs = (_build_huffman(DC_LUMA_SPEC), _build_huffman(DC_CHROMA_SPEC))
     ac_tabs = (_build_huffman(AC_LUMA_SPEC), _build_huffman(AC_CHROMA_SPEC))
     writer = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = comps[0].shape[0]
-    for bi in range(n_blocks):
-        for ci in range(3):
-            zz = comps[ci][bi]
-            dc_tab = dc_tabs[0 if ci == 0 else 1]
-            ac_tab = ac_tabs[0 if ci == 0 else 1]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            t, bits = _magnitude(diff)
-            code, ln = dc_tab[t]
-            writer.write(code, ln)
-            if t:
-                writer.write(bits, t)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]  # ZRL
-                    writer.write(code, ln)
-                    run -= 16
-                t, bits = _magnitude(v)
-                code, ln = ac_tab[(run << 4) | t]
-                writer.write(code, ln)
-                writer.write(bits, t)
-                run = 0
-            if run:
-                code, ln = ac_tab[0x00]  # EOB
-                writer.write(code, ln)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                hi, vi = factors[ci]
+                cols = mcus_x * hi
+                dc_tab = dc_tabs[0 if ci == 0 else 1]
+                ac_tab = ac_tabs[0 if ci == 0 else 1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * cols + (mx * hi + bx)
+                        _encode_block(writer, comps[ci][bi], dc_tab, ac_tab, pred, ci)
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -319,12 +376,13 @@ def encode_baseline_jpeg(rgb: "np.ndarray") -> bytes:
         counts, symbols = spec
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols))
 
+    hv = [(hi << 4) | vi for hi, vi in factors]
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     sof = seg(
         0xFFC0,
         bytes([8])
         + struct.pack(">HH", h, w)
-        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([3, 1, hv[0], 0, 2, hv[1], 1, 3, hv[2], 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (
@@ -408,11 +466,10 @@ def _parse_and_entropy_decode(payload: bytes):
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (non-4:4:4); plug PIL into decode_asset"
-                    )
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("illegal JPEG sampling factors")
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -441,12 +498,26 @@ def _parse_and_entropy_decode(payload: bytes):
         raise ValueError("JPEG missing EOI")
     reader = _BitReader(payload[entropy_start:end])
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
     ncomp = len(comps)
-    zz = np.zeros((bh * bw, ncomp, 64), dtype=np.int32)
+    # MCU geometry (T.81 A.2.3). A single-component scan is non-interleaved:
+    # its "MCU" is one block and the component's own block grid is walked
+    # directly, with no sampling-factor padding.
+    if ncomp == 1:
+        factors = [(1, 1)]
+        mcus_y, mcus_x = (h + 7) // 8, (w + 7) // 8
+    else:
+        factors = [(hi, vi) for _cid, _tq, hi, vi in comps]
+        hmax = max(hi for hi, _ in factors)
+        vmax = max(vi for _, vi in factors)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    layouts = [(mcus_y * vi, mcus_x * hi) for hi, vi in factors]
+    blocks = [
+        np.zeros((rows * cols, 64), dtype=np.int32) for rows, cols in layouts
+    ]
     pred = [0] * ncomp
     tabs = []
-    for cid, _tq in comps:
+    for cid, _tq, _hi, _vi in comps:
         if cid not in scan_sel:
             raise ValueError("JPEG scan missing frame component")
         sel = scan_sel[cid]
@@ -455,59 +526,97 @@ def _parse_and_entropy_decode(payload: bytes):
         if dc is None or ac is None:
             raise ValueError("JPEG scan references missing Huffman table")
         tabs.append((dc, ac))
-    for bi in range(bh * bw):
-        for ci in range(ncomp):
-            dc_tab, ac_tab = tabs[ci]
-            t = _huff_decode(reader, dc_tab)
-            if t > 11:
-                raise ValueError("invalid JPEG DC category")
-            pred[ci] += _extend(reader.read_bits(t), t) if t else 0
-            block = zz[bi, ci]
-            block[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(reader, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 0xF
-                if k > 63 or size == 0:
-                    raise ValueError("invalid JPEG AC run/size")
-                block[k] = _extend(reader.read_bits(size), size)
-                k += 1
-    return h, w, comps, qtables, zz
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                dc_tab, ac_tab = tabs[ci]
+                hi, vi = factors[ci]
+                cols = layouts[ci][1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        t = _huff_decode(reader, dc_tab)
+                        if t > 11:
+                            raise ValueError("invalid JPEG DC category")
+                        pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+                        block = blocks[ci][(my * vi + by) * cols + (mx * hi + bx)]
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63 or size == 0:
+                                raise ValueError("invalid JPEG AC run/size")
+                            block[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+    return h, w, comps, qtables, blocks, layouts
+
+
+def decode_quantized_components(payload: bytes) -> list["np.ndarray"]:
+    """Per-component (n_blocks, 64) quantized DCT coefficients in zigzag
+    order, blocks in row-major plane order — the encoder↔decoder exactness
+    surface for ANY sampling layout (the entropy layer is lossless, so
+    these must be bit-identical to what the encoder quantized)."""
+    return _parse_and_entropy_decode(payload)[4]
 
 
 def decode_quantized_coefficients(payload: bytes) -> "np.ndarray":
     """(n_blocks, n_components, 64) quantized DCT coefficients in zigzag
-    order — the encoder↔decoder exactness contract surface: the entropy
-    layer is lossless, so these must be bit-identical to what
-    :func:`encode_baseline_jpeg` quantized. Used by tests."""
-    return _parse_and_entropy_decode(payload)[4]
+    order for SAME-GEOMETRY layouts (4:4:4 or grayscale) — the historical
+    stacked contract surface. Subsampled layouts have per-component block
+    counts; use :func:`decode_quantized_components` there."""
+    _h, _w, _comps, _q, blocks, layouts = _parse_and_entropy_decode(payload)
+    if len(set(layouts)) != 1:
+        raise ValueError(
+            "subsampled JPEG has per-component block grids; use "
+            "decode_quantized_components"
+        )
+    return np.stack(blocks, axis=1)
 
 
 def decode_baseline_jpeg(payload: bytes) -> "np.ndarray":
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (or (h, w, 1) grayscale).
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (or (h, w, 1) grayscale),
+    any sampling layout with integer ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1).
 
     Entropy decode is the sequential Python part (bit IO); dequantize →
-    IDCT → color convert run as one einsum/array pass over all blocks."""
-    h, w, comps, qtables, zz = _parse_and_entropy_decode(payload)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    IDCT → color convert run as one einsum/array pass over all blocks.
+    Subsampled chroma upsamples by box replication (nearest neighbor) —
+    T.81 leaves the upsampling filter to the decoder."""
+    h, w, comps, qtables, blocks, layouts = _parse_and_entropy_decode(payload)
     ncomp = len(comps)
+    hmax = max(hi for _cid, _tq, hi, _vi in comps) if ncomp > 1 else 1
+    vmax = max(vi for _cid, _tq, _hi, vi in comps) if ncomp > 1 else 1
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        if ncomp == 1:
+            hi = vi = 1
         if tq not in qtables:
             raise ValueError("JPEG frame references missing quant table")
-        coef = np.zeros((bh * bw, 64), dtype=np.float64)
-        coef[:, _Z] = zz[:, ci, :]
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                "non-integer JPEG sampling ratio; plug PIL into decode_asset"
+            )
+        rows, cols = layouts[ci]
+        coef = np.zeros((rows * cols, 64), dtype=np.float64)
+        coef[:, _Z] = blocks[ci]
         coef = coef.reshape(-1, 8, 8) * qtables[tq][None]
-        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
+        blk = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
         plane = (
-            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            blk.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         )
+        # component dims per T.81 A.1.1: ceil(size * factor / max_factor)
+        ch_, cw_ = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch_, :cw_]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
         planes.append(plane[:h, :w])
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[..., None]

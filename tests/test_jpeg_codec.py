@@ -102,13 +102,72 @@ def test_unsupported_jpeg_profiles_raise_hook():
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="PIL"):
         jpeg.decode_baseline_jpeg(prog)
-    # subsampled chroma: hand-build an SOF with 2x2 luma sampling
+    # illegal sampling factor (0) is a malformed stream, not a hook
     sof = _seg(
         0xFFC0,
-        bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3, 1, 0x02, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    with pytest.raises(NotImplementedError, match="4:4:4"):
+    with pytest.raises(ValueError, match="sampling"):
         jpeg.decode_baseline_jpeg(b"\xff\xd8" + sof)
+
+
+# ---- Chroma subsampling (4:2:0 / 4:2:2) -------------------------------------
+
+
+def _gradient_rgb(height: int, width: int) -> "np.ndarray":
+    """Deterministic smooth image: chroma varies slowly, so the box
+    downsample→replicate round loses little and tolerances stay tight."""
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    r = 255.0 * xx / max(width - 1, 1)
+    g = 255.0 * yy / max(height - 1, 1)
+    b = 255.0 * (xx + yy) / max(width + height - 2, 1)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["420", "422"])
+def test_subsampled_entropy_layer_roundtrip_exact(subsampling):
+    """The entropy layer stays lossless under MCU interleaving: the decoder
+    must recover the encoder's per-component quantized coefficients
+    bit-for-bit, including the partial edge MCUs of non-multiple-of-16
+    dims."""
+    rgb = _gradient_rgb(17, 22)
+    payload = jpeg.encode_baseline_jpeg(rgb, subsampling=subsampling)
+    sent = jpeg.forward_quantized_components(rgb, subsampling)
+    got = jpeg.decode_quantized_components(payload)
+    assert len(got) == 3
+    for s, g in zip(sent, got):
+        assert s.shape == g.shape
+        assert (s == g).all()
+    # the stacked same-geometry surface refuses subsampled layouts loudly
+    with pytest.raises(ValueError, match="decode_quantized_components"):
+        jpeg.decode_quantized_coefficients(payload)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420", "422"])
+def test_subsampled_decode_close_to_source(subsampling):
+    """Full round-trip on a smooth image: per-pixel error bounded by the
+    quantization steps (chroma subsample adds only slow-varying error on a
+    gradient), channel means within the DC-step band."""
+    rgb = _gradient_rgb(24, 33)
+    out = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(rgb, subsampling=subsampling))
+    assert out.shape == rgb.shape
+    err = np.abs(out.astype(np.float64) - rgb.astype(np.float64))
+    assert err.mean() < 6.0
+    assert np.abs(out.mean(axis=(0, 1)) - rgb.mean(axis=(0, 1))).max() < 8.0
+
+
+def test_subsampled_and_444_featurize_alike():
+    """decode_asset means for the same pixels at 4:2:0 / 4:2:2 sit within a
+    tight band of the 4:4:4 rendering (chroma means are preserved by the
+    box downsample up to quantization)."""
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import decode_asset
+
+    rgb = _gradient_rgb(16, 16)
+    f444, _ = decode_asset(jpeg.encode_baseline_jpeg(rgb, "444"), "image")
+    for mode in ("420", "422"):
+        f, frames = decode_asset(jpeg.encode_baseline_jpeg(rgb, mode), "image")
+        assert frames == 1
+        assert f == pytest.approx(f444, abs=0.02)
 
 
 def test_malformed_jpeg_raises_valueerror():
