@@ -8,8 +8,9 @@ synthesizer. Profile supported: 8-bit, single-scan sequential baseline,
 standard component layout (1 or 3 components), ANY sampling layout with
 integer ratios — 4:4:4, 4:2:2, 4:2:0, 4:1:1 — decoded in T.81 MCU order
 with box-replication chroma upsampling (the encoder emits 4:4:4, 4:2:2
-and 4:2:0 with mean box downsampling). Progressive scans, restart
-markers, arithmetic coding, and 12-bit precision raise
+and 4:2:0 with mean box downsampling), and restart intervals (DRI +
+RSTn resync with DC-predictor reset — what hardware encoders emit).
+Progressive scans, arithmetic coding, and 12-bit precision raise
 ``NotImplementedError`` — the same PIL plug-in hook as the other codecs.
 Malformed streams raise ``ValueError`` (the codec contract).
 
@@ -171,10 +172,20 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
+        """Pad with 1-bits to the byte boundary (the spec's pre-marker pad)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def write_marker(self, marker_low: int) -> None:
+        """Emit a bare 0xFF<m> marker into the scan (RSTn) — byte-aligned
+        and exempt from byte stuffing by definition."""
+        self.pad_align()
+        self.buf += bytes([0xFF, marker_low])
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.buf)
 
 
@@ -208,6 +219,17 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def consume_restart(self, n: int) -> None:
+        """Byte-align (discarding the 1-bit pad) and consume the expected
+        RSTn marker (T.81 E.1.4: markers sit on byte boundaries and are
+        never stuffed)."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected JPEG restart marker")
+        if self.data[self.pos + 1] != 0xD0 + (n & 7):
+            raise ValueError("JPEG restart marker out of sequence")
+        self.pos += 2
 
 
 def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -332,9 +354,13 @@ def _encode_block(writer: "_BitWriter", zz, dc_tab, ac_tab, pred, ci) -> None:
         writer.write(code, ln)
 
 
-def encode_baseline_jpeg(rgb: "np.ndarray", subsampling: str = "444") -> bytes:
+def encode_baseline_jpeg(
+    rgb: "np.ndarray", subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K tables), at
-    4:4:4 (default), 4:2:2, or 4:2:0 chroma sampling.
+    4:4:4 (default), 4:2:2, or 4:2:0 chroma sampling, optionally with
+    restart markers every ``restart_interval`` MCUs (DRI + RSTn, the
+    resync points hardware encoders emit).
 
     Forward path is fully vectorized (:func:`forward_quantized_components`:
     JFIF RGB→YCbCr, chroma box downsample, all-blocks DCT via one einsum,
@@ -353,8 +379,13 @@ def encode_baseline_jpeg(rgb: "np.ndarray", subsampling: str = "444") -> bytes:
     ac_tabs = (_build_huffman(AC_LUMA_SPEC), _build_huffman(AC_CHROMA_SPEC))
     writer = _BitWriter()
     pred = [0, 0, 0]
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.write_marker(0xD0 + ((mcu_i // restart_interval - 1) & 7))
+                pred = [0, 0, 0]
+            mcu_i += 1
             for ci in range(3):
                 hi, vi = factors[ci]
                 cols = mcus_x * hi
@@ -385,6 +416,9 @@ def encode_baseline_jpeg(rgb: "np.ndarray", subsampling: str = "444") -> bytes:
         + bytes([3, 1, hv[0], 0, 2, hv[1], 1, 3, hv[2], 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + app0
@@ -395,6 +429,7 @@ def encode_baseline_jpeg(rgb: "np.ndarray", subsampling: str = "444") -> bytes:
         + dht(1, 0, AC_LUMA_SPEC)
         + dht(0, 1, DC_CHROMA_SPEC)
         + dht(1, 1, AC_CHROMA_SPEC)
+        + dri
         + sos
         + scan
         + b"\xff\xd9"
@@ -420,6 +455,7 @@ def _parse_and_entropy_decode(payload: bytes):
     frame = None
     scan_sel = None
     entropy_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -477,11 +513,9 @@ def _parse_and_entropy_decode(payload: bytes):
                 "non-baseline JPEG (progressive/extended/arithmetic); plug "
                 "PIL into decode_asset"
             )
-        elif marker == 0xFFDD:  # DRI
-            if len(body) >= 2 and struct.unpack_from(">H", body)[0] != 0:
-                raise NotImplementedError(
-                    "JPEG restart intervals; plug PIL into decode_asset"
-                )
+        elif marker == 0xFFDD:  # DRI: restart every N MCUs (0 = disabled)
+            if len(body) >= 2:
+                restart_interval = struct.unpack_from(">H", body)[0]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             scan_sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
@@ -526,8 +560,15 @@ def _parse_and_entropy_decode(payload: bytes):
         if dc is None or ac is None:
             raise ValueError("JPEG scan references missing Huffman table")
         tabs.append((dc, ac))
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align, eat RSTn (mod-8 sequence), reset DC predictors
+                reader.consume_restart((mcu_i // restart_interval - 1) & 7)
+                for i in range(ncomp):
+                    pred[i] = 0
+            mcu_i += 1
             for ci in range(ncomp):
                 dc_tab, ac_tab = tabs[ci]
                 hi, vi = factors[ci]

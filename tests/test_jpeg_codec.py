@@ -156,6 +156,33 @@ def test_subsampled_decode_close_to_source(subsampling):
     assert np.abs(out.mean(axis=(0, 1)) - rgb.mean(axis=(0, 1))).max() < 8.0
 
 
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_restart_intervals_roundtrip_identical(subsampling):
+    """DRI/RSTn only resyncs the entropy stream — the quantized data is
+    unchanged, so the restart-marked stream must decode to PIXEL-IDENTICAL
+    output, and the entropy layer stays bit-exact across the predictor
+    resets (restart_interval=1 puts a marker between every MCU)."""
+    rgb = _gradient_rgb(24, 33)
+    plain = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(rgb, subsampling))
+    marked_payload = jpeg.encode_baseline_jpeg(rgb, subsampling, restart_interval=2)
+    marked = jpeg.decode_baseline_jpeg(marked_payload)
+    assert (plain == marked).all()
+    sent = jpeg.forward_quantized_components(rgb, subsampling)
+    got = jpeg.decode_quantized_components(
+        jpeg.encode_baseline_jpeg(rgb, subsampling, restart_interval=1)
+    )
+    for s, g in zip(sent, got):
+        assert (s == g).all()
+    # an out-of-sequence RST is a malformed stream (markers are never
+    # byte-stuffed, so the first 0xFFD0 in the scan IS the first restart)
+    broken = bytearray(marked_payload)
+    idx = broken.find(b"\xff\xd0")
+    assert idx > 0
+    broken[idx + 1] = 0xD3
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.decode_baseline_jpeg(bytes(broken))
+
+
 def test_subsampled_and_444_featurize_alike():
     """decode_asset means for the same pixels at 4:2:0 / 4:2:2 sit within a
     tight band of the 4:4:4 rendering (chroma means are preserved by the
