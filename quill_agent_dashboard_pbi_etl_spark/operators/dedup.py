@@ -397,8 +397,9 @@ def probe_volume_estimate(df: DataFrame) -> int | None:
 # events exceed this estimated input volume, even when the bitmap would fit
 # the plan literal. De-confounded pricing (SCALE_LADDER.json
 # ["bloom_probe_auto"]: fresh JVM per cell, alternated order, min-of-2)
-# showed the bucketed probe winning BOTH measured extremes — 4.4 vs 5.5 s
-# at 0.5M probed events / 29 MiB scanned (sf1), 53.7 vs 90.1 s at 50M /
+# showed the bucketed probe winning BOTH measured extremes — 5.0 vs 5.2 s
+# at 0.5M probed events / 29 MiB scanned (sf1; the r11 re-run — r10's
+# quieter box measured 4.4 vs 5.5, same direction), 53.7 vs 90.1 s at 50M /
 # 2.9 GiB (sf100): the literal's per-row conv(hex(substr)) bit test costs
 # more CPU than the codegen'd hash-join lookup already at half a million
 # rows, and the gap grows without bound with probed volume. The r9
@@ -445,8 +446,9 @@ def ledger_gate_bloom(
     (SCALE_LADDER.json ``bloom_probe_auto``, fresh-JVM min-of-2 cells): the
     literal probe's ``conv(hex(substr))`` bit test costs real CPU PER
     PROBE, while the bucketed probe is a codegen'd hash-join lookup — the
-    bucketed encoding won BOTH measured extremes (4.4 vs 5.5 s at 0.5M
-    probed events, 53.7 vs 90.1 s at 50M, identical survivors). ``"auto"``
+    bucketed encoding won BOTH measured extremes (5.0 vs 5.2 s at 0.5M
+    probed events on the r11 re-run — r10 measured 4.4 vs 5.5, same
+    direction — and 53.7 vs 90.1 s at 50M, identical survivors). ``"auto"``
     (default) applies that rule per call: it reads Catalyst's job-free
     input-size estimate for ``events`` (:func:`probe_volume_estimate`) and
     forces the word table past ``AUTO_BUCKETED_PROBE_BYTES`` (16 MiB

@@ -137,6 +137,11 @@ def main() -> None:
     include_sf300 = "--sf300" in argv
     if include_sf300:
         argv.remove("--sf300")
+    only: set[str] | None = None
+    if "--rungs" in argv:  # e.g. --rungs sf1,sf10 — build just those
+        i = argv.index("--rungs")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     out_root = argv[0] if argv else "/root/repo/scale_ladder"
     rungs = [
         ("sf0.3", 3),
@@ -148,6 +153,8 @@ def main() -> None:
     ]
     if include_sf300:
         rungs.append(("sf300", 3000))
+    if only is not None:
+        rungs = [(sf, c) for sf, c in rungs if sf in only]
     for sf, copies in rungs:
         dest = os.path.join(out_root, sf)
         if os.path.isdir(dest):
