@@ -1,18 +1,22 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) codec — stdlib+numpy.
+"""JPEG (ITU-T T.81 DCT, Huffman) codec — stdlib+numpy.
 
 The multimodal real-decode lane's compressed-image tier beyond PNG: a
-genuine JFIF baseline decoder (marker parse → Huffman entropy decode with
+genuine JFIF decoder (marker parse → Huffman entropy decode with
 byte-unstuffing and DC prediction → dequantize → 2-D IDCT → level shift →
-YCbCr→RGB) plus the matching encoder used by the deterministic asset
-synthesizer. Profile supported: 8-bit, single-scan sequential baseline,
-standard component layout (1 or 3 components), ANY sampling layout with
-integer ratios — 4:4:4, 4:2:2, 4:2:0, 4:1:1 — decoded in T.81 MCU order
-with box-replication chroma upsampling (the encoder emits 4:4:4, 4:2:2
-and 4:2:0 with mean box downsampling), and restart intervals (DRI +
-RSTn resync with DC-predictor reset — what hardware encoders emit).
-Progressive scans, arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` — the same PIL plug-in hook as the other codecs.
-Malformed streams raise ``ValueError`` (the codec contract).
+YCbCr→RGB) plus the matching encoders used by the deterministic asset
+synthesizer. Profiles supported: 8-bit sequential BASELINE (SOF0) and
+PROGRESSIVE (SOF2 — multi-scan spectral selection + successive
+approximation with EOB-run batching, the scan shape libjpeg emits by
+default), standard component layout (1 or 3 components), ANY sampling
+layout with integer ratios — 4:4:4, 4:2:2, 4:2:0, 4:1:1 — decoded in
+T.81 MCU order (non-interleaved scans walk each component's TRUE block
+grid) with box-replication chroma upsampling (the encoders emit 4:4:4,
+4:2:2 and 4:2:0 with mean box downsampling), and restart intervals
+(DRI + RSTn resync with DC-predictor/EOB-run reset — what hardware
+encoders emit). Arithmetic coding, lossless/hierarchical modes, and
+12-bit precision raise ``NotImplementedError`` — the same PIL plug-in
+hook as the other codecs. Malformed streams raise ``ValueError`` (the
+codec contract).
 
 Quantization/Huffman tables are the T.81 Annex K examples (public spec
 material). JPEG is lossy, so unlike PNG the synthesizer round-trip is
@@ -436,32 +440,307 @@ def encode_baseline_jpeg(
     )
 
 
+def _encode_ac_first_block(writer, band, al, ac_tab) -> None:
+    """Progressive AC first pass for one block's band (T.81 G.1.2.2):
+    point-transformed values (abs >> Al, truncation toward zero, sign
+    kept), run/size coding, per-block EOB (EOBRUN=1 — legal, unbatched)."""
+    run = 0
+    emitted_any = False
+    last_nz = -1
+    temps = []
+    for v in band:
+        t = (abs(int(v)) >> al)
+        temps.append(-t if v < 0 else t)
+    for i, t in enumerate(temps):
+        if t != 0:
+            last_nz = i
+    for i in range(last_nz + 1):
+        t = temps[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(t)
+        code, ln = ac_tab[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+        run = 0
+        emitted_any = True
+    if last_nz < len(band) - 1 or not emitted_any:
+        code, ln = ac_tab[0x00]  # EOB (run of 1)
+        writer.write(code, ln)
+
+
+def _encode_ac_refine_block(writer, band, al, ac_tab) -> None:
+    """Progressive AC refinement (Ah = Al+1 → Al) for one block's band
+    (T.81 G.1.2.3 / the jcphuff algorithm): newly-significant coefficients
+    (|v|>>Al == 1) get run/size-1 symbols + a sign bit; already-significant
+    ones queue a correction bit ((|v|>>Al) & 1) flushed after the next
+    symbol; trailing correction bits flush after a per-block EOB."""
+    p1_temps = [abs(int(v)) >> al for v in band]
+    signs = [1 if int(v) >= 0 else -1 for v in band]
+    newly = [i for i, t in enumerate(p1_temps) if t == 1]
+    eob_idx = (newly[-1] + 1) if newly else 0
+    run = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        for bit in pending:
+            writer.write(bit, 1)
+        pending.clear()
+
+    for i in range(eob_idx):
+        t = p1_temps[i]
+        if t == 0:
+            run += 1
+            continue
+        # Emit required ZRLs BEFORE handling this coefficient — for
+        # already-significant coefficients too (the jcphuff note: a
+        # correction coefficient past a >15 zero run must queue its bit
+        # AFTER the ZRL that covers those zeros, or the decoder — which
+        # reads correction bits inline while consuming the ZRL's 16-zero
+        # span — desyncs). Inside i < eob_idx a trailing fold into EOB is
+        # impossible, so emit unconditionally.
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            writer.write(code, ln)
+            flush()
+            run -= 16
+        if t > 1:  # already significant: queue its correction bit
+            pending.append(t & 1)
+            continue
+        code, ln = ac_tab[(run << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if signs[i] > 0 else 0, 1)
+        flush()
+        run = 0
+    tail = [p1_temps[i] & 1 for i in range(eob_idx, len(band)) if p1_temps[i] > 1]
+    if eob_idx < len(band) or pending or tail:
+        code, ln = ac_tab[0x00]  # EOB: decoder refines the band remainder
+        writer.write(code, ln)
+        flush()
+        for bit in tail:
+            writer.write(bit, 1)
+
+
+def encode_progressive_jpeg(
+    rgb: "np.ndarray", subsampling: str = "444", al: int = 1
+) -> bytes:
+    """(h, w, 3) uint8 RGB → PROGRESSIVE JFIF bytes (SOF2) carrying the
+    SAME quantized coefficients as :func:`encode_baseline_jpeg` — the two
+    encodings must decode pixel-identical, which is exactly what the tests
+    assert. Scan script (spectral selection + one successive-approximation
+    level, the shape libjpeg's default script uses):
+
+      1. DC first, all components interleaved, Al=``al``
+      2. AC first, one scan per component, band 1-63, Al=``al``
+      3. DC refinement, interleaved, Ah=``al`` → Al=``al``-1 … down to 0
+      4. AC refinement, one scan per component, same ladder
+
+    ``al=0`` degenerates to pure spectral selection (no refinement scans).
+    """
+    if al < 0 or al > 13:
+        raise ValueError("al out of range")
+    h, w = rgb.shape[:2]
+    comps = forward_quantized_components(rgb, subsampling)
+    factors = SAMPLING_FACTORS[subsampling]
+    _f, hmax, vmax, mcus_x, mcus_y, layouts, true_grids = _frame_geometry(
+        h, w, [(1, 0, hi, vi) for hi, vi in factors]
+    )
+
+    dc_tabs = (_build_huffman(DC_LUMA_SPEC), _build_huffman(DC_CHROMA_SPEC))
+    ac_tabs = (_build_huffman(AC_LUMA_SPEC), _build_huffman(AC_CHROMA_SPEC))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(scomps, ss, se, ah, a_l) -> bytes:
+        body = bytes([len(scomps)])
+        for cs, td, ta in scomps:
+            body += bytes([cs, (td << 4) | ta])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | a_l]))
+
+    scans: list[bytes] = []
+
+    # 1. DC first: interleaved over the padded MCU grid
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                hi, vi = factors[ci]
+                cols = layouts[ci][1]
+                dc_tab = dc_tabs[0 if ci == 0 else 1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * cols + (mx * hi + bx)
+                        v = int(comps[ci][bi][0]) >> al  # arithmetic shift
+                        t, bits = _magnitude(v - pred[ci])
+                        pred[ci] = v
+                        code, ln = dc_tab[t]
+                        writer.write(code, ln)
+                        if t:
+                            writer.write(bits, t)
+    scans.append(sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, al) + writer.flush())
+
+    # 2. AC first per component: its TRUE block grid, band 1-63
+    for ci in range(3):
+        writer = _BitWriter()
+        rows, cols_t = true_grids[ci]
+        cols = layouts[ci][1]
+        ac_tab = ac_tabs[0 if ci == 0 else 1]
+        for r in range(rows):
+            for c in range(cols_t):
+                _encode_ac_first_block(
+                    writer, comps[ci][r * cols + c][1:], al, ac_tab
+                )
+        scans.append(sos([(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 0, al) + writer.flush())
+
+    # 3+4. successive-approximation ladder down to Al=0
+    for cur in range(al, 0, -1):
+        lo = cur - 1
+        # DC refinement: one raw bit per block, interleaved, no Huffman
+        writer = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    hi, vi = factors[ci]
+                    cols = layouts[ci][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bi = (my * vi + by) * cols + (mx * hi + bx)
+                            writer.write((int(comps[ci][bi][0]) >> lo) & 1, 1)
+        scans.append(
+            sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, cur, lo) + writer.flush()
+        )
+        # AC refinement per component
+        for ci in range(3):
+            writer = _BitWriter()
+            rows, cols_t = true_grids[ci]
+            cols = layouts[ci][1]
+            ac_tab = ac_tabs[0 if ci == 0 else 1]
+            for r in range(rows):
+                for c in range(cols_t):
+                    _encode_ac_refine_block(
+                        writer, comps[ci][r * cols + c][1:], lo, ac_tab
+                    )
+            scans.append(
+                sos([(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, cur, lo)
+                + writer.flush()
+            )
+
+    def dqt(tid: int, table: "np.ndarray") -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in table.reshape(-1)[_Z]))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        counts, symbols = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols))
+
+    hv = [(hi << 4) | vi for hi, vi in factors]
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof2 = seg(
+        0xFFC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, hv[0], 0, 2, hv[1], 1, 3, hv[2], 1]),
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, QUANT_LUMA)
+        + dqt(1, QUANT_CHROMA)
+        + sof2
+        + dht(0, 0, DC_LUMA_SPEC)
+        + dht(1, 0, AC_LUMA_SPEC)
+        + dht(0, 1, DC_CHROMA_SPEC)
+        + dht(1, 1, AC_CHROMA_SPEC)
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 # --- Decoder ---------------------------------------------------------------
 
 
-def _parse_and_entropy_decode(payload: bytes):
-    """Shared decoder core: marker walk + Huffman entropy decode.
+def _frame_geometry(h: int, w: int, comps):
+    """Shared MCU geometry (T.81 A.1.1/A.2.3): per-component sampling
+    factors, MCU counts, the MCU-PADDED storage layouts, and each
+    component's TRUE block grid (ceil of its own dims — what
+    non-interleaved scans walk; the padded layout's extra blocks are
+    interleave-only dummies). Single-component frames are non-interleaved
+    by definition: factors collapse to 1:1 and the grids coincide."""
+    ncomp = len(comps)
+    if ncomp == 1:
+        factors = [(1, 1)]
+        hmax = vmax = 1
+        mcus_y, mcus_x = (h + 7) // 8, (w + 7) // 8
+    else:
+        factors = [(hi, vi) for _cid, _tq, hi, vi in comps]
+        hmax = max(hi for hi, _ in factors)
+        vmax = max(vi for _, vi in factors)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    layouts = [(mcus_y * vi, mcus_x * hi) for hi, vi in factors]
+    true_grids = [
+        (
+            (-(-h * vi // vmax) + 7) // 8,  # block rows of comp's own dims
+            (-(-w * hi // hmax) + 7) // 8,  # block cols
+        )
+        for hi, vi in factors
+    ]
+    return factors, hmax, vmax, mcus_x, mcus_y, layouts, true_grids
 
-    Returns ``(h, w, comps, qtables, zz)`` where ``comps`` is the SOF
-    component list ``[(component_id, quant_table_id), ...]`` and ``zz`` is
-    the (n_blocks, n_components, 64) int32 quantized-coefficient tensor in
-    zigzag order — the exact data the encoder emitted (entropy coding is
-    lossless; quantization is JPEG's only lossy step)."""
+
+def _scan_entropy_end(payload: bytes, start: int) -> int:
+    """First byte after ``start`` where a REAL marker begins: skips stuffed
+    0xFF00 byte pairs and RSTn markers (both legal inside entropy data)."""
+    pos = start
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            return n
+        nxt = payload[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        return pos
+    return n
+
+
+def _parse_jpeg_structure(payload: bytes):
+    """Marker walk → ``(h, w, comps, progressive, qtables, scans)``.
+
+    Each scan record carries everything its entropy data needs — the
+    participating components (frame index + DC/AC table ids), spectral
+    band (Ss/Se), successive-approximation bits (Ah/Al), a SNAPSHOT of the
+    Huffman tables in force (DHT may redefine tables between scans), the
+    restart interval in force, and the raw entropy byte slice — so the
+    baseline and progressive decoders below are pure entropy loops."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
-    scan_sel = None
-    entropy_start = None
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    scans: list[dict] = []
+    saw_eoi = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
+            saw_eoi = True
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         if length < 2 or pos + 2 + length > len(payload):
             raise ValueError("truncated JPEG segment")
@@ -478,7 +757,7 @@ def _parse_and_entropy_decode(payload: bytes):
                 tbl[_Z] = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
                 qtables[pq_tq & 0xF] = tbl.reshape(8, 8)
                 bpos += 65
-        elif marker == 0xFFC4:  # DHT
+        elif marker == 0xFFC4:  # DHT (may appear between scans)
             bpos = 0
             while bpos + 17 <= len(body):
                 cls_tid = body[bpos]
@@ -491,12 +770,13 @@ def _parse_and_entropy_decode(payload: bytes):
                     (counts, symbols)
                 )
                 bpos += 17 + n
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
                     "non-8-bit JPEG precision; plug PIL into decode_asset"
                 )
+            progressive = marker == 0xFFC2
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -507,70 +787,88 @@ def _parse_and_entropy_decode(payload: bytes):
                     raise ValueError("illegal JPEG sampling factors")
                 comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/extended/arithmetic); plug "
-                "PIL into decode_asset"
+                "non-baseline/progressive JPEG (extended/lossless/"
+                "arithmetic); plug PIL into decode_asset"
             )
         elif marker == 0xFFDD:  # DRI: restart every N MCUs (0 = disabled)
             if len(body) >= 2:
                 restart_interval = struct.unpack_from(">H", body)[0]
         elif marker == 0xFFDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG missing SOF/SOS")
             ns = body[0]
-            scan_sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
+            cids = [c[0] for c in frame[2]]
+            scomps = []
+            for i in range(ns):
+                cs, sel = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in cids:
+                    raise ValueError("JPEG scan missing frame component")
+                scomps.append((cids.index(cs), sel >> 4, sel & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             entropy_start = pos + 2 + length
-            break
+            end = _scan_entropy_end(payload, entropy_start)
+            scans.append(
+                {
+                    "comps": scomps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "tables": dict(htables),
+                    "ri": restart_interval,
+                    "data": payload[entropy_start:end],
+                }
+            )
+            pos = end
+            continue
         pos += 2 + length
-    if frame is None or scan_sel is None or entropy_start is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if not saw_eoi:
+        raise ValueError("JPEG missing EOI")
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("empty JPEG frame")
-    end = payload.rfind(b"\xff\xd9")
-    if end < entropy_start:
-        raise ValueError("JPEG missing EOI")
-    reader = _BitReader(payload[entropy_start:end])
+    return h, w, comps, progressive, qtables, scans
 
+
+def _refine_nonzero(reader: _BitReader, block, k: int, p1: int) -> None:
+    """One correction bit for an already-significant coefficient (T.81
+    G.1.2.3 / jdphuff semantics): move magnitude outward by 1<<Al unless
+    the bit at Al is already set."""
+    if reader.read_bit() and (int(block[k]) & p1) == 0:
+        block[k] += p1 if block[k] >= 0 else -p1
+
+
+def _decode_baseline_scan(h, w, comps, scan, blocks, layouts, factors,
+                          mcus_x, mcus_y):
+    """The single interleaved sequential scan (SOF0): DC DPCM + full AC
+    band per data unit, MCU order, restart-interval aware."""
     ncomp = len(comps)
-    # MCU geometry (T.81 A.2.3). A single-component scan is non-interleaved:
-    # its "MCU" is one block and the component's own block grid is walked
-    # directly, with no sampling-factor padding.
-    if ncomp == 1:
-        factors = [(1, 1)]
-        mcus_y, mcus_x = (h + 7) // 8, (w + 7) // 8
-    else:
-        factors = [(hi, vi) for _cid, _tq, hi, vi in comps]
-        hmax = max(hi for hi, _ in factors)
-        vmax = max(vi for _, vi in factors)
-        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    layouts = [(mcus_y * vi, mcus_x * hi) for hi, vi in factors]
-    blocks = [
-        np.zeros((rows * cols, 64), dtype=np.int32) for rows, cols in layouts
-    ]
-    pred = [0] * ncomp
+    if len(scan["comps"]) != ncomp:
+        raise ValueError("baseline JPEG scan must include every component")
     tabs = []
-    for cid, _tq, _hi, _vi in comps:
-        if cid not in scan_sel:
-            raise ValueError("JPEG scan missing frame component")
-        sel = scan_sel[cid]
-        dc = htables.get((0, sel >> 4))
-        ac = htables.get((1, sel & 0xF))
+    for ci, td, ta in scan["comps"]:
+        dc = scan["tables"].get((0, td))
+        ac = scan["tables"].get((1, ta))
         if dc is None or ac is None:
             raise ValueError("JPEG scan references missing Huffman table")
-        tabs.append((dc, ac))
+        tabs.append((ci, dc, ac))
+    reader = _BitReader(scan["data"])
+    ri = scan["ri"]
+    pred = [0] * ncomp
     mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            if ri and mcu_i and mcu_i % ri == 0:
                 # byte-align, eat RSTn (mod-8 sequence), reset DC predictors
-                reader.consume_restart((mcu_i // restart_interval - 1) & 7)
-                for i in range(ncomp):
-                    pred[i] = 0
+                reader.consume_restart((mcu_i // ri - 1) & 7)
+                pred = [0] * ncomp
             mcu_i += 1
-            for ci in range(ncomp):
-                dc_tab, ac_tab = tabs[ci]
+            for ci, dc_tab, ac_tab in tabs:
                 hi, vi = factors[ci]
                 cols = layouts[ci][1]
                 for by in range(vi):
@@ -595,6 +893,188 @@ def _parse_and_entropy_decode(payload: bytes):
                                 raise ValueError("invalid JPEG AC run/size")
                             block[k] = _extend(reader.read_bits(size), size)
                             k += 1
+
+
+def _decode_progressive_scans(h, w, comps, scans, blocks, layouts, factors,
+                              mcus_x, mcus_y, true_grids):
+    """Progressive (SOF2) entropy decode, T.81 G.2 / the jdphuff algorithm
+    family: DC scans (interleaved or single-component) carry DPCM values at
+    precision Al then one refinement bit per pass; AC scans are always
+    single-component over the component's TRUE block grid, first-pass
+    coding the band's coefficients at precision Al with EOB-run batching,
+    refinement passes adding one magnitude bit per coefficient. EOBRUN and
+    DC predictors reset at restart markers."""
+    for scan in scans:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        ri = scan["ri"]
+        reader = _BitReader(scan["data"])
+        if ss == 0:  # ---- DC scan (first or refinement) ----
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            tabs = {}
+            for ci, td, _ta in scan["comps"]:
+                if ah == 0:  # refinement scans need no Huffman table
+                    dc = scan["tables"].get((0, td))
+                    if dc is None:
+                        raise ValueError("JPEG scan references missing Huffman table")
+                    tabs[ci] = dc
+            pred = {ci: 0 for ci, _td, _ta in scan["comps"]}
+
+            def dc_unit(ci, bi):
+                block = blocks[ci][bi]
+                if ah == 0:
+                    t = _huff_decode(reader, tabs[ci])
+                    if t > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+                    block[0] = pred[ci] << al
+                elif reader.read_bit():
+                    block[0] |= 1 << al
+
+            if len(scan["comps"]) > 1:  # interleaved: padded MCU walk
+                mcu_i = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if ri and mcu_i and mcu_i % ri == 0:
+                            reader.consume_restart((mcu_i // ri - 1) & 7)
+                            pred = {k: 0 for k in pred}
+                        mcu_i += 1
+                        for ci, _td, _ta in scan["comps"]:
+                            hi, vi = factors[ci]
+                            cols = layouts[ci][1]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    dc_unit(
+                                        ci,
+                                        (my * vi + by) * cols + (mx * hi + bx),
+                                    )
+            else:  # single component: its true grid, padded storage
+                ci = scan["comps"][0][0]
+                rows, cols_t = true_grids[ci]
+                cols = layouts[ci][1]
+                unit_i = 0
+                for r in range(rows):
+                    for c in range(cols_t):
+                        if ri and unit_i and unit_i % ri == 0:
+                            reader.consume_restart((unit_i // ri - 1) & 7)
+                            pred = {k: 0 for k in pred}
+                        unit_i += 1
+                        dc_unit(ci, r * cols + c)
+            continue
+
+        # ---- AC scan: always one component, true grid ----
+        if len(scan["comps"]) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("invalid progressive spectral band")
+        ci, _td, ta = scan["comps"][0]
+        ac_tab = scan["tables"].get((1, ta))
+        if ac_tab is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        rows, cols_t = true_grids[ci]
+        cols = layouts[ci][1]
+        p1 = 1 << al
+        eobrun = 0
+        unit_i = 0
+        for r in range(rows):
+            for c in range(cols_t):
+                if ri and unit_i and unit_i % ri == 0:
+                    reader.consume_restart((unit_i // ri - 1) & 7)
+                    eobrun = 0
+                unit_i += 1
+                block = blocks[ci][r * cols + c]
+                if ah == 0:  # ---- AC first pass ----
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tab)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run != 15:
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += reader.read_bits(run)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > se:
+                            raise ValueError("invalid progressive AC run")
+                        block[k] = _extend(reader.read_bits(size), size) << al
+                        k += 1
+                else:  # ---- AC refinement pass ----
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_decode(reader, ac_tab)
+                            run, size = rs >> 4, rs & 15
+                            val = 0
+                            if size == 0:
+                                if run != 15:
+                                    eobrun = 1 << run
+                                    if run:
+                                        eobrun += reader.read_bits(run)
+                                    break
+                                # ZRL: skip 16 zero-history coefficients
+                            else:
+                                if size != 1:
+                                    raise ValueError(
+                                        "invalid progressive refinement size"
+                                    )
+                                val = p1 if reader.read_bit() else -p1
+                            # advance over `run` zero-history coefficients,
+                            # refining already-significant ones in passing
+                            while k <= se:
+                                if block[k] != 0:
+                                    _refine_nonzero(reader, block, k, p1)
+                                else:
+                                    if run == 0:
+                                        break
+                                    run -= 1
+                                k += 1
+                            if val and k <= se:
+                                block[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # EOB run: every remaining nonzero-history coefficient
+                        # in the band still gets its correction bit
+                        while k <= se:
+                            if block[k] != 0:
+                                _refine_nonzero(reader, block, k, p1)
+                            k += 1
+                        eobrun -= 1
+
+
+def _parse_and_entropy_decode(payload: bytes):
+    """Shared decoder core: marker walk + Huffman entropy decode, baseline
+    (SOF0, one interleaved scan) or progressive (SOF2, multi-scan spectral
+    selection + successive approximation).
+
+    Returns ``(h, w, comps, qtables, blocks, layouts)`` where ``comps`` is
+    the SOF component list ``[(cid, tq, hi, vi), ...]`` and ``blocks`` is
+    one (n_blocks, 64) int32 zigzag coefficient array per component — the
+    exact data the encoder emitted (entropy coding is lossless;
+    quantization is JPEG's only lossy step)."""
+    h, w, comps, progressive, qtables, scans = _parse_jpeg_structure(payload)
+    factors, _hmax, _vmax, mcus_x, mcus_y, layouts, true_grids = _frame_geometry(
+        h, w, comps
+    )
+    blocks = [
+        np.zeros((rows * cols, 64), dtype=np.int32) for rows, cols in layouts
+    ]
+    if progressive:
+        _decode_progressive_scans(
+            h, w, comps, scans, blocks, layouts, factors, mcus_x, mcus_y,
+            true_grids,
+        )
+    else:
+        if len(scans) != 1:
+            raise ValueError("baseline JPEG must carry exactly one scan")
+        _decode_baseline_scan(
+            h, w, comps, scans[0], blocks, layouts, factors, mcus_x, mcus_y
+        )
     return h, w, comps, qtables, blocks, layouts
 
 
@@ -621,8 +1101,10 @@ def decode_quantized_coefficients(payload: bytes) -> "np.ndarray":
 
 
 def decode_baseline_jpeg(payload: bytes) -> "np.ndarray":
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (or (h, w, 1) grayscale),
-    any sampling layout with integer ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1).
+    """JFIF bytes → (h, w, 3) uint8 RGB (or (h, w, 1) grayscale): baseline
+    SOF0 or progressive SOF2 (spectral selection + successive
+    approximation — the multi-scan shape libjpeg emits by default), any
+    sampling layout with integer ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1).
 
     Entropy decode is the sequential Python part (bit IO); dequantize →
     IDCT → color convert run as one einsum/array pass over all blocks.

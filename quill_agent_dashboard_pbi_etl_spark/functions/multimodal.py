@@ -11,11 +11,12 @@ Python stdlib + numpy can parse — PCM WAV (``wave``), uncompressed 24-bit
 BMP, binary PPM (``struct``), PNG across the FULL profile surface the spec
 defines (all five color types incl. palette and grayscale, bit depths
 1-16, Adam7 interlace; ``zlib`` inflate + full None/Sub/Up/Average/Paeth
-unfiltering), and baseline sequential JFIF JPEG (T.81 Huffman + IDCT,
+unfiltering), and JFIF JPEG — baseline SOF0 and progressive SOF2, any
+integer-ratio sampling, restart intervals (T.81 Huffman + IDCT,
 :mod:`.jpeg`) — and raises ``NotImplementedError`` for formats needing
-external codecs (MP4 needs pyav, absent in this container) or JPEG
-profiles beyond baseline sequential (progressive/arithmetic); that raise
-is the production-decoder hook.
+external codecs (MP4 needs pyav, absent in this container) or JPEG modes
+beyond DCT+Huffman (arithmetic/lossless/12-bit); that raise is the
+production-decoder hook.
 ``fake_decode`` remains the dependency-free stand-in for pipelines over
 arbitrary payloads. The Spark-side plumbing (schemas, Arrow batch iteration,
 partitioning) is identical for both and tested end-to-end.
@@ -523,10 +524,10 @@ def _decode_png(payload: bytes) -> tuple[list[float], int]:
 
 
 def _decode_jpeg(payload: bytes) -> tuple[list[float], int]:
-    """Baseline JFIF → ([mean_r, mean_g, mean_b], 1) via the T.81 sequential
-    codec in :mod:`.jpeg` (marker parse → Huffman → dequant → IDCT →
-    YCbCr→RGB). Non-baseline profiles raise the PIL plug-in hook from
-    inside the codec."""
+    """JFIF (baseline SOF0 or progressive SOF2) → ([mean_r, mean_g,
+    mean_b], 1) via the T.81 codec in :mod:`.jpeg` (marker parse → Huffman
+    → dequant → IDCT → YCbCr→RGB). Arithmetic/lossless/12-bit modes raise
+    the PIL plug-in hook from inside the codec."""
     from . import jpeg as _jpeg
 
     rgb = _jpeg.decode_baseline_jpeg(payload)

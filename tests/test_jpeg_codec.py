@@ -98,10 +98,15 @@ def test_handbuilt_grayscale_dc_only_block():
 
 def test_unsupported_jpeg_profiles_raise_hook():
     base = make_jpeg_bytes(seed=1)
-    # progressive SOF2 instead of SOF0
-    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # arithmetic-coded SOF9 — genuinely outside the codec, still the hook
+    arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError, match="PIL"):
-        jpeg.decode_baseline_jpeg(prog)
+        jpeg.decode_baseline_jpeg(arith)
+    # SOF2 with a baseline-shaped single scan (Ss=0, Se=63) is a MALFORMED
+    # progressive scan script (DC and AC may not share a scan), not a hook
+    pseudo_prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline_jpeg(pseudo_prog)
     # illegal sampling factor (0) is a malformed stream, not a hook
     sof = _seg(
         0xFFC0,
@@ -109,6 +114,77 @@ def test_unsupported_jpeg_profiles_raise_hook():
     )
     with pytest.raises(ValueError, match="sampling"):
         jpeg.decode_baseline_jpeg(b"\xff\xd8" + sof)
+
+
+# ---- Progressive (SOF2): spectral selection + successive approximation ------
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420", "422"])
+@pytest.mark.parametrize("al", [0, 1, 2])
+def test_progressive_decodes_pixel_identical_to_baseline(subsampling, al):
+    """The progressive encoding carries the SAME quantized coefficients as
+    the baseline one, so the multi-scan decode (DC first/refine, AC
+    first/refine with EOB runs) must reconstruct PIXEL-IDENTICAL output.
+    Noise content exercises ZRL-before-correction ordering, long runs and
+    every magnitude category; odd dims exercise partial edge blocks and
+    (at 4:2:0) true-grid-vs-padded-grid AC walks."""
+    import numpy as np
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import _lcg_bytes
+
+    for h, w in [(17, 22), (7, 9)]:
+        pix = np.frombuffer(_lcg_bytes(11, w * h * 3), dtype=np.uint8).reshape(h, w, 3)
+        base = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(pix, subsampling))
+        prog = jpeg.decode_baseline_jpeg(
+            jpeg.encode_progressive_jpeg(pix, subsampling, al=al)
+        )
+        assert (base == prog).all()
+
+
+def test_progressive_entropy_layer_exact_on_true_grid():
+    """The multi-scan entropy layers are jointly lossless: the decoder's
+    per-component coefficients match the forward quantization bit-for-bit
+    on every TRUE-grid block (interleave-only dummy blocks of subsampled
+    luma legitimately carry DC-only data and sit wholly outside the crop)."""
+    import numpy as np
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.jpeg import (
+        SAMPLING_FACTORS,
+        _frame_geometry,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import _lcg_bytes
+
+    h, w = 17, 22
+    pix = np.frombuffer(_lcg_bytes(5, w * h * 3), dtype=np.uint8).reshape(h, w, 3)
+    sent = jpeg.forward_quantized_components(pix, "420")
+    got = jpeg.decode_quantized_components(
+        jpeg.encode_progressive_jpeg(pix, "420", al=2)
+    )
+    comps_meta = [(1, 0, hi, vi) for hi, vi in SAMPLING_FACTORS["420"]]
+    _f, _hm, _vm, _mx, _my, layouts, true_grids = _frame_geometry(h, w, comps_meta)
+    for ci in range(3):
+        rows, cols_t = true_grids[ci]
+        cols = layouts[ci][1]
+        for r in range(rows):
+            for c in range(cols_t):
+                assert (sent[ci][r * cols + c] == got[ci][r * cols + c]).all()
+
+
+def test_progressive_through_decode_asset():
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import decode_asset
+
+    rgb = _gradient_rgb(16, 16)
+    fb, _ = decode_asset(jpeg.encode_baseline_jpeg(rgb, "420"), "image")
+    fp, frames = decode_asset(jpeg.encode_progressive_jpeg(rgb, "420"), "image")
+    assert frames == 1
+    assert fp == fb  # same coefficients → exactly the same features
+
+
+def test_progressive_truncated_scan_raises():
+    rgb = _gradient_rgb(16, 16)
+    payload = jpeg.encode_progressive_jpeg(rgb, "444")
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline_jpeg(payload[: len(payload) // 2])
 
 
 # ---- Chroma subsampling (4:2:0 / 4:2:2) -------------------------------------
