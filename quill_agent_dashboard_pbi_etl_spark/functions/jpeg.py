@@ -527,7 +527,10 @@ def _encode_ac_refine_block(writer, band, al, ac_tab) -> None:
 
 
 def encode_progressive_jpeg(
-    rgb: "np.ndarray", subsampling: str = "444", al: int = 1
+    rgb: "np.ndarray",
+    subsampling: str = "444",
+    al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → PROGRESSIVE JFIF bytes (SOF2) carrying the
     SAME quantized coefficients as :func:`encode_baseline_jpeg` — the two
@@ -541,6 +544,11 @@ def encode_progressive_jpeg(
       4. AC refinement, one scan per component, same ladder
 
     ``al=0`` degenerates to pure spectral selection (no refinement scans).
+    ``restart_interval`` emits DRI + RSTn inside EVERY scan — the restart
+    unit is the MCU for interleaved DC scans and the block for
+    single-component scans (T.81 E.1.4), with DC predictors reset at each
+    marker (AC scans here carry no cross-block state: EOB runs are
+    per-block).
     """
     if al < 0 or al > 13:
         raise ValueError("al out of range")
@@ -565,11 +573,23 @@ def encode_progressive_jpeg(
 
     scans: list[bytes] = []
 
+    ri = restart_interval
+
+    def maybe_restart(writer, unit_i, pred=None) -> None:
+        if ri and unit_i and unit_i % ri == 0:
+            writer.write_marker(0xD0 + ((unit_i // ri - 1) & 7))
+            if pred is not None:
+                for i in range(len(pred)):
+                    pred[i] = 0
+
     # 1. DC first: interleaved over the padded MCU grid
     writer = _BitWriter()
     pred = [0, 0, 0]
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            maybe_restart(writer, mcu_i, pred)
+            mcu_i += 1
             for ci in range(3):
                 hi, vi = factors[ci]
                 cols = layouts[ci][1]
@@ -592,8 +612,11 @@ def encode_progressive_jpeg(
         rows, cols_t = true_grids[ci]
         cols = layouts[ci][1]
         ac_tab = ac_tabs[0 if ci == 0 else 1]
+        unit_i = 0
         for r in range(rows):
             for c in range(cols_t):
+                maybe_restart(writer, unit_i)
+                unit_i += 1
                 _encode_ac_first_block(
                     writer, comps[ci][r * cols + c][1:], al, ac_tab
                 )
@@ -604,8 +627,11 @@ def encode_progressive_jpeg(
         lo = cur - 1
         # DC refinement: one raw bit per block, interleaved, no Huffman
         writer = _BitWriter()
+        mcu_i = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                maybe_restart(writer, mcu_i)
+                mcu_i += 1
                 for ci in range(3):
                     hi, vi = factors[ci]
                     cols = layouts[ci][1]
@@ -622,8 +648,11 @@ def encode_progressive_jpeg(
             rows, cols_t = true_grids[ci]
             cols = layouts[ci][1]
             ac_tab = ac_tabs[0 if ci == 0 else 1]
+            unit_i = 0
             for r in range(rows):
                 for c in range(cols_t):
+                    maybe_restart(writer, unit_i)
+                    unit_i += 1
                     _encode_ac_refine_block(
                         writer, comps[ci][r * cols + c][1:], lo, ac_tab
                     )
@@ -647,6 +676,7 @@ def encode_progressive_jpeg(
         + struct.pack(">HH", h, w)
         + bytes([3, 1, hv[0], 0, 2, hv[1], 1, 3, hv[2], 1]),
     )
+    dri = seg(0xFFDD, struct.pack(">H", ri)) if ri else b""
     return (
         b"\xff\xd8"
         + app0
@@ -657,6 +687,7 @@ def encode_progressive_jpeg(
         + dht(1, 0, AC_LUMA_SPEC)
         + dht(0, 1, DC_CHROMA_SPEC)
         + dht(1, 1, AC_CHROMA_SPEC)
+        + dri
         + b"".join(scans)
         + b"\xff\xd9"
     )

@@ -180,6 +180,24 @@ def test_progressive_through_decode_asset():
     assert fp == fb  # same coefficients → exactly the same features
 
 
+def test_progressive_with_restart_intervals_identical():
+    """Restart markers inside progressive scans (per-MCU for interleaved
+    DC, per-block for single-component scans, predictor/EOB-run reset)
+    change nothing about the coefficients — pixel-identical to both the
+    unmarked progressive stream and the baseline encoding."""
+    import numpy as np
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import _lcg_bytes
+
+    pix = np.frombuffer(_lcg_bytes(13, 22 * 17 * 3), dtype=np.uint8).reshape(17, 22, 3)
+    base = jpeg.decode_baseline_jpeg(jpeg.encode_baseline_jpeg(pix, "420"))
+    for ri in (1, 3):
+        prog = jpeg.decode_baseline_jpeg(
+            jpeg.encode_progressive_jpeg(pix, "420", al=2, restart_interval=ri)
+        )
+        assert (base == prog).all()
+
+
 def test_progressive_truncated_scan_raises():
     rgb = _gradient_rgb(16, 16)
     payload = jpeg.encode_progressive_jpeg(rgb, "444")
