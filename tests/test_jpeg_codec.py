@@ -327,3 +327,91 @@ def test_jpeg_golden_features():
         got, frames = decode_asset(make_jpeg_bytes(seed), "image")
         assert frames == 1
         assert got == pytest.approx(want, abs=1e-9), seed
+
+
+def test_progressive_grayscale_single_component_scans():
+    """Single-component frames take the non-interleaved DC walk (the one
+    progressive path the 3-component encoder never emits): craft a
+    grayscale SOF2 stream — DC first (ns=1), AC first, DC refine, AC
+    refine — from the module's own primitives and assert it decodes
+    pixel-identical to the equivalent hand-built BASELINE grayscale
+    stream (identical quantized coefficients by construction)."""
+    import numpy as np
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.jpeg import (
+        AC_LUMA_SPEC,
+        DC_LUMA_SPEC,
+        QUANT_LUMA,
+        _BitWriter,
+        _build_huffman,
+        _encode_ac_first_block,
+        _encode_ac_refine_block,
+        _encode_block,
+        _magnitude,
+        _plane_quantized_blocks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import _lcg_bytes
+
+    h, w = 8, 16  # two blocks, exact multiple (no padding concerns)
+    gray = np.frombuffer(_lcg_bytes(6, h * w), dtype=np.uint8).reshape(h, w)
+    blocks = _plane_quantized_blocks(gray.astype(np.float64) - 128.0, QUANT_LUMA)
+    dc_tab = _build_huffman(DC_LUMA_SPEC)
+    ac_tab = _build_huffman(AC_LUMA_SPEC)
+
+    def headers(sof_marker: int) -> bytes:
+        dqt = _seg(
+            0xFFDB,
+            bytes([0]) + bytes(int(v) for v in QUANT_LUMA.reshape(-1)[jpeg._Z]),
+        )
+        sof = _seg(
+            sof_marker,
+            bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+        )
+        cd, sd = DC_LUMA_SPEC, AC_LUMA_SPEC
+        dht = _seg(0xFFC4, bytes([0x00]) + bytes(cd[0]) + bytes(cd[1])) + _seg(
+            0xFFC4, bytes([0x10]) + bytes(sd[0]) + bytes(sd[1])
+        )
+        return b"\xff\xd8" + dqt + sof + dht
+
+    def sos(ss, se, ah, al) -> bytes:
+        return _seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # baseline grayscale reference
+    wtr = _BitWriter()
+    pred = [0]
+    for bi in range(blocks.shape[0]):
+        _encode_block(wtr, blocks[bi], dc_tab, ac_tab, pred, 0)
+    baseline = headers(0xFFC0) + sos(0, 63, 0, 0) + wtr.flush() + b"\xff\xd9"
+
+    # progressive grayscale: single-component scans only
+    al = 1
+    scans = b""
+    wtr = _BitWriter()  # DC first, ns=1
+    pred_v = 0
+    for bi in range(blocks.shape[0]):
+        v = int(blocks[bi][0]) >> al
+        t, bits = _magnitude(v - pred_v)
+        pred_v = v
+        code, ln = dc_tab[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(bits, t)
+    scans += sos(0, 0, 0, al) + wtr.flush()
+    wtr = _BitWriter()  # AC first, band 1-63
+    for bi in range(blocks.shape[0]):
+        _encode_ac_first_block(wtr, blocks[bi][1:], al, ac_tab)
+    scans += sos(1, 63, 0, al) + wtr.flush()
+    wtr = _BitWriter()  # DC refine, ns=1
+    for bi in range(blocks.shape[0]):
+        wtr.write(int(blocks[bi][0]) & 1, 1)
+    scans += sos(0, 0, al, 0) + wtr.flush()
+    wtr = _BitWriter()  # AC refine
+    for bi in range(blocks.shape[0]):
+        _encode_ac_refine_block(wtr, blocks[bi][1:], 0, ac_tab)
+    scans += sos(1, 63, al, 0) + wtr.flush()
+    progressive = headers(0xFFC2) + scans + b"\xff\xd9"
+
+    out_b = jpeg.decode_baseline_jpeg(baseline)
+    out_p = jpeg.decode_baseline_jpeg(progressive)
+    assert out_b.shape == out_p.shape == (h, w, 1)
+    assert (out_b == out_p).all()
