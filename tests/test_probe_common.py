@@ -62,8 +62,13 @@ def test_committed_ladder_carries_the_flags():
     flip = data["streaming_ledger_gate"]["flip_point"]
     # the killed 0.60x cell: its pre-gate pair is flagged
     assert flip["vol60pct_seed100pct"]["bloom_pregate"]["ambient_suspect"]
-    # clean fresh-JVM sf300 A/B summary: no strategy flagged
+    # the r11 sf300 A/B: exact/nobcast walls are mutually consistent, the
+    # bimodal bloom walls (82 vs 155/158) are flagged — and because bloom
+    # holds the min, the wall-winner field itself carries the suspicion
     ab = data["ledger_gate_crossover"]["sf300_ab"]["summary"]
-    for strat in ("exact", "bloom", "nobcast"):
-        assert ab[f"{strat}_ambient_suspect"] is False
+    assert ab["exact_ambient_suspect"] is False
+    assert ab["nobcast_ambient_suspect"] is False
+    assert ab["bloom_ambient_suspect"] is True
+    assert ab["wall_winner_ambient_suspect"] is True
+    assert "note_r11" in data["ledger_gate_crossover"]["sf300_ab"]
     assert "ambient_flag_note" in data
