@@ -77,6 +77,31 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+
+    # Box-health sentinel (round-12 directive 3): three tiny registry
+    # queries whose code has not changed since round 10, anchored to their
+    # committed quiet-box medians (BENCH_DETAILS.json at 72f053d — the
+    # 97.3 s round-10 run, the project's canonical healthy-box basis).
+    # box_health = median of (measured_median / anchor) over the three. A
+    # roughly uniform ratio across these untouched sub-200ms queries is
+    # ambient box state, not code — recorded here so a total-wall shift is
+    # machine-attributable instead of judge-argued. ~1.0 = r10-quiet box;
+    # the r11 rounds measured ~1.15 (quiet) and ~1.4+ (degraded).
+    sentinel_anchor = {
+        "dim_date_seed": 0.052,
+        "corpus_shards": 0.129,
+        "stratified_sample": 0.101,
+    }
+    sentinel_ratios = {
+        k: round(medians[k] / ref, 3)
+        for k, ref in sentinel_anchor.items()
+        if k in medians
+    }
+    box_health = (
+        round(sorted(sentinel_ratios.values())[len(sentinel_ratios) // 2], 3)
+        if sentinel_ratios
+        else None
+    )
     # stdout is tail-captured by the driver and a long line gets truncated
     # mid-JSON (round 1 shipped a ~4.5 KB line and the driver recorded
     # parsed=null; the capture window is unknown but < 4.5 KB). Keep the
@@ -93,6 +118,7 @@ def main() -> None:
         "queries": {k: round(v, 1) for k, v in slowest.items()},
         "sf": sf,
         "n_queries": len(timings),
+        "box_health": box_health,
     }
     if errors:
         out["errors"] = {k: v[:40] for k, v in errors.items()}
@@ -105,6 +131,9 @@ def main() -> None:
         "rows": rows,
         "errors": errors,
         "sf": sf,
+        "box_health": box_health,
+        "box_health_sentinels": sentinel_ratios,
+        "box_health_anchor": sentinel_anchor,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
     with open(detail_path, "w") as fh:

@@ -880,7 +880,11 @@ def _decode_baseline_scan(h, w, comps, scan, blocks, layouts, factors,
     band per data unit, MCU order, restart-interval aware."""
     ncomp = len(comps)
     if len(scan["comps"]) != ncomp:
-        raise ValueError("baseline JPEG scan must include every component")
+        # A sequential scan covering a component subset is legal T.81
+        # (non-interleaved sequential) — unsupported profile, not malformed.
+        raise NotImplementedError(
+            "non-interleaved sequential JPEG scan; plug PIL into decode_asset"
+        )
     tabs = []
     for ci, td, ta in scan["comps"]:
         dc = scan["tables"].get((0, td))
@@ -1102,7 +1106,12 @@ def _parse_and_entropy_decode(payload: bytes):
         )
     else:
         if len(scans) != 1:
-            raise ValueError("baseline JPEG must carry exactly one scan")
+            # Legal per T.81 (sequential scans may be non-interleaved, one
+            # per component) — valid-but-unsupported, NOT malformed, so it
+            # falls through to the production-decoder hook.
+            raise NotImplementedError(
+                "multi-scan sequential JPEG; plug PIL into decode_asset"
+            )
         _decode_baseline_scan(
             h, w, comps, scans[0], blocks, layouts, factors, mcus_x, mcus_y
         )

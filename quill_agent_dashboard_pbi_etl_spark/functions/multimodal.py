@@ -791,6 +791,53 @@ def make_png_profile_bytes(
     return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
 
 
+# Named profile stripes for synthesize_codec_assets_from_documents: each one
+# routes a contract-level slice of the driver-checked real-decode query
+# through a decoder lane the profile tests pin in isolation (4:2:0 MCU
+# interleave + restart resync, progressive scan scripts, palette gather,
+# Adam7 pass walk, 16-bit recombine).
+
+def make_jpeg420_bytes(seed: int, width: int = 32, height: int = 16) -> bytes:
+    """Deterministic baseline JFIF at 4:2:0 with restart markers every MCU
+    (32×16 → two 16×16 MCUs, so DRI/RSTn actually fires)."""
+    pix = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_baseline_jpeg(
+        pix.reshape(height, width, 3), subsampling="420", restart_interval=1
+    )
+
+
+def make_jpeg_progressive_bytes(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic PROGRESSIVE JFIF (SOF2, libjpeg-shaped scan script,
+    one successive-approximation level) at 4:2:2."""
+    pix = np.frombuffer(_lcg_bytes(seed, width * height * 3), dtype=np.uint8)
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_progressive_jpeg(
+        pix.reshape(height, width, 3), subsampling="422", al=1
+    )
+
+
+def make_png_palette_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic indexed-color PNG (color type 3, 4-bit depth — PLTE
+    gather + sub-byte unpack lanes)."""
+    return make_png_profile_bytes(seed, width, height, color_type=3, bit_depth=4)
+
+
+def make_png_interlaced_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic Adam7-interlaced truecolor PNG."""
+    return make_png_profile_bytes(
+        seed, width, height, color_type=2, bit_depth=8, interlace=1
+    )
+
+
+def make_png16_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic 16-bit truecolor PNG (samples = 8-bit values ×257, so
+    it featurizes identically to its 8-bit twin)."""
+    return make_png_profile_bytes(seed, width, height, color_type=2, bit_depth=16)
+
+
 def fake_decode(payload: bytes, modality: str) -> tuple[list[float], int]:
     """Deterministic stand-in decoder: derives a tiny 'feature vector' from
     the payload's sha256 and a 'frame count' from its length — stable across
@@ -857,7 +904,10 @@ def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
     (WAV / BMP / PPM / PNG / JPEG, seeded by doc_id) so
     ``extract_features(..., use_real_decoder=True)`` exercises actual
     decoding — zlib inflate + scanline unfiltering on the PNG rows, Huffman
-    + IDCT on the JPEG rows. Generation runs in mapInPandas — payloads are
+    + IDCT on the JPEG rows. The stripe set covers the decoder's full
+    profile surface at contract level: plain 4:4:4 JPEG, 4:2:0 with
+    restart markers, progressive SOF2, five-filter PNG, palette / Adam7 /
+    16-bit PNG profiles. Generation runs in mapInPandas — payloads are
     born on executors, never on the driver."""
     out_schema = "asset_id long, modality string, content binary, mime_type string"
 
@@ -868,6 +918,11 @@ def synthesize_codec_assets_from_documents(docs: DataFrame) -> DataFrame:
             ("image", "image/x-portable-pixmap", make_ppm_bytes),
             ("image", "image/png", make_png_bytes),
             ("image", "image/jpeg", make_jpeg_bytes),
+            ("image", "image/jpeg", make_jpeg420_bytes),
+            ("image", "image/jpeg", make_jpeg_progressive_bytes),
+            ("image", "image/png", make_png_palette_bytes),
+            ("image", "image/png", make_png_interlaced_bytes),
+            ("image", "image/png", make_png16_bytes),
         ]
         for pdf in batches:
             rows = []

@@ -522,14 +522,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_real_decode")  # stdlib codec output — rows-only check
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal REAL-decode pipeline: synthesize genuine WAV/BMP/PPM/PNG
-    payloads per document (mapInPandas, executor-side) and decode them with
-    the stdlib codecs behind decode_asset — PCM RMS features for audio, RGB
-    channel means for images, with the PNG rows paying real zlib inflate +
-    scanline unfiltering (functions/multimodal.py). The decode math is
-    not SQL-expressible, so this registers rows-only; exact feature values
-    are locked by tests/test_multimodal_codecs.py golden vectors against a
-    pure-Python reference."""
+    """Multimodal REAL-decode pipeline: synthesize genuine codec payloads
+    per document (mapInPandas, executor-side) and decode them with the
+    in-repo codecs behind decode_asset — PCM RMS features for audio, RGB
+    channel means for images. The stripe set spans the decoders' profile
+    surface: WAV, BMP, PPM, five-filter PNG, baseline 4:4:4 JPEG, plus
+    (r12) 4:2:0-with-restart-markers and progressive SOF2 JPEG and
+    palette / Adam7-interlaced / 16-bit PNG — so the driver-checked query
+    exercises every entropy/layout lane the profile tests pin in
+    isolation. The decode math is not SQL-expressible, so this registers
+    rows-only; exact feature values are locked by
+    tests/test_multimodal_codecs.py golden vectors against a pure-Python
+    reference."""
     from ..functions.multimodal import (
         extract_features,
         synthesize_codec_assets_from_documents,

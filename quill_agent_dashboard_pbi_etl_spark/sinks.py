@@ -116,11 +116,53 @@ def ledger_bootstrap(spark: SparkSession, path: str) -> None:
     spark.createDataFrame([], LEDGER_SCHEMA).write.mode("overwrite").parquet(path)
 
 
-def append_ledger(entries: DataFrame, path: str) -> None:
+def append_ledger(
+    entries: DataFrame, path: str, partition_by_expiry: bool = False
+) -> None:
     """K4 ledger append after a successful gate+post cycle. Single-writer per
     pipeline run; use Delta ``MERGE ... WHEN NOT MATCHED INSERT`` when
-    concurrent writers exist (SURVEY.md §7 risk register)."""
-    entries.write.mode("append").parquet(path)
+    concurrent writers exist (SURVEY.md §7 risk register).
+
+    ``partition_by_expiry=True`` lays the ledger out as
+    ``expiryDay=<utc date of expiresAt>/`` partitions — the RUNBOOK "Ledger
+    lifecycle" production layout: TTL compaction then collapses to dropping
+    whole partition directories (no rewrite, no full scan — see
+    :func:`compact_ledger`), and a gate reading through
+    :func:`read_ledger` partition-prunes the expired days at scan time.
+    Pick ONE layout per ledger path and stick to it; the streaming claim
+    sink stays unpartitioned (its rewrite jobs need the flat layout)."""
+    if partition_by_expiry:
+        (
+            entries.withColumn(
+                "expiryDay", F.to_date(F.from_unixtime(F.col("expiresAt")))
+            )
+            .write.mode("append")
+            .partitionBy("expiryDay")
+            .parquet(path)
+        )
+    else:
+        entries.write.mode("append").parquet(path)
+
+
+def read_ledger(
+    spark: SparkSession, path: str, now_epoch: int | None = None
+) -> DataFrame:
+    """Load a ledger written by :func:`append_ledger`, either layout. On an
+    expiry-partitioned ledger with ``now_epoch`` given, applies the
+    ``expiryDay >= day(now)`` predicate — a PARTITION-PRUNING filter (whole
+    expired days never leave the manifest, the row-level ``expiresAt``
+    check in the gate stays authoritative for the boundary day). Returns
+    the ledger columns (pk, seenAt, expiresAt, + any claim-tag columns);
+    the partition column is dropped."""
+    df = spark.read.parquet(path)
+    if "expiryDay" in df.columns:
+        if now_epoch is not None:
+            df = df.filter(
+                F.col("expiryDay")
+                >= F.to_date(F.from_unixtime(F.lit(now_epoch)))
+            )
+        df = df.drop("expiryDay")
+    return df
 
 
 def prune_ledger(spark: SparkSession, path: str, now_epoch: int) -> DataFrame:
@@ -142,21 +184,64 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
     sink's ``writer_id`` claim tags included — compaction must never turn
     a live claim into a re-admittable key, and an expired claim is past
     its protection window by definition). At 100 TB: the ledger is
-    TTL-bounded (14 days of keys), so the rewrite is one bounded scan;
-    partition production ledgers by expiry day and this collapses to
-    dropping whole partitions. Returns the number of expired rows
-    dropped."""
+    TTL-bounded (14 days of keys), so the rewrite is one bounded scan.
+    Returns the number of expired rows dropped — counted INSIDE the locked
+    transform on the same snapshot the rewrite reads, so rows appended by
+    a concurrent sink between the count and the swap can never skew (or
+    negate) the result.
+
+    On an expiry-PARTITIONED ledger (``append_ledger(...,
+    partition_by_expiry=True)``) no rewrite happens at all: under the
+    same lock, every ``expiryDay=<D>`` directory with D strictly before
+    the cutoff day is dropped whole (every row in it expired during D, so
+    D < day(now) ⇒ all expired; the boundary day stays — its still-live
+    rows are filtered row-level at every gate scan and the partition is
+    dropped by tomorrow's run). Each directory delete is independent and
+    idempotent, so a crash mid-compaction just leaves some expired
+    partitions for the next run — no swap machinery needed, and the scan
+    cost is the EXPIRED partitions only, never the live ledger."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
     import time as _time
 
-    from .operators.dedup import rewrite_ledger_atomic
+    from .operators.dedup import LedgerLock, rewrite_ledger_atomic
 
     if now_epoch is None:
         now_epoch = int(_time.time())
-    before = spark.read.parquet(path).count()
-    live = rewrite_ledger_atomic(
-        spark, path, lambda df: df.filter(F.col("expiresAt") >= F.lit(now_epoch))
-    )
-    return before - live.count()
+
+    part_dirs = [
+        d
+        for d in (_os.listdir(path) if _os.path.isdir(path) else [])
+        if d.startswith("expiryDay=")
+    ]
+    if part_dirs:
+        cutoff_day = _dt.datetime.fromtimestamp(
+            now_epoch, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d")
+        expired = sorted(
+            d for d in part_dirs if d.removeprefix("expiryDay=") < cutoff_day
+        )
+        if not expired:
+            return 0
+        with LedgerLock(path):
+            n = (
+                spark.read.parquet(
+                    *[_os.path.join(path, d) for d in expired]
+                ).count()
+            )
+            for d in expired:
+                _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
+        return n
+
+    dropped = {"n": 0}
+
+    def _transform(df: DataFrame) -> DataFrame:
+        dropped["n"] = df.filter(F.col("expiresAt") < F.lit(now_epoch)).count()
+        return df.filter(F.col("expiresAt") >= F.lit(now_epoch))
+
+    rewrite_ledger_atomic(spark, path, _transform)
+    return dropped["n"]
 
 
 def push_rows_rest(

@@ -147,7 +147,9 @@ PREGATE_AUTO_MIN_BATCH_ROWS = 25_000_000
 # cell itself (17.47M live keys / ~177 MB estimate, two alternated-order
 # passes — `flip_point_auto.vol33pct_seed100pct`) came back NEGATIVE too:
 # clean-position walls exact 111.1 s vs pre-gate 180.8 s (1.63x loss) —
-# the BATCH gate's sf300 fresh-JVM win (66.9 vs 73.3 s) does not transfer
+# the BATCH gate's r10 sf300 fresh-JVM win (66.9 vs 73.3 s — itself
+# demoted r12 to "not reproducible on this box" after bimodal r11/r12
+# re-runs, SCALE_LADDER sf300_ab.r10_pair_status) does not transfer
 # to the sink, which adds per-batch live pinning, the sizing count, and
 # the word-table fold whose bit_or aggregation itself shuffles up to
 # k x live rows (a cost the 8x anti-join-cut accounting does not
@@ -773,6 +775,7 @@ def reclaim_orphaned_claims(
     events: DataFrame | None = None,
     quarantine_dir: str | None = None,
     storage: StateStorage | None = None,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Maintenance job closing the ledger-gated sink's one loss window
     (:func:`start_ledger_gated_fact_sink` crash-safety docstring): a batch
@@ -807,6 +810,17 @@ def reclaim_orphaned_claims(
     is a per-tag dynamic-partition overwrite, so a reclaimed event lands
     in quarantine exactly once.
 
+    Quarantine mode VERIFIES coverage before it retags: every orphaned pk
+    must be present in ``events`` (the contract says the replayable source
+    re-supplies them — an operator re-running with a truncated source
+    would otherwise retag claims whose events landed NOWHERE, turning the
+    loss invisible). On a shortfall the default is to raise ``ValueError``
+    with the uncovered count and sample keys, leaving the ledger untouched
+    so a later run with a fuller source can still reclaim. Under
+    ``allow_partial=True`` only the COVERED claim rows are retagged and
+    quarantined; uncovered claims keep their dead tag and remain orphan
+    candidates (the shortfall is logged).
+
     The ledger rewrite (a filter/retag needs row deletion parquet cannot
     do in place) goes through ``operators.dedup.rewrite_ledger_atomic`` —
     a full scan → scratch dir → two-rename swap under the ``LedgerLock``,
@@ -823,10 +837,12 @@ def reclaim_orphaned_claims(
     MERGE ledger (``ledger_update_auto``) where claim+output share one
     transactional table and this window does not exist.
 
-    Returns the reclaimed claim rows (pk, seenAt, expiresAt, writer_id),
-    materialized before the rewrite. Driver-side state is the distinct
-    dead TAG list (generations × batches — operations-scale, never
-    data-scale; the claims themselves stay distributed).
+    Returns the claim rows actually reclaimed (pk, seenAt, expiresAt,
+    writer_id), materialized before the rewrite — all identified orphans
+    in release mode / full-coverage quarantine, only the covered rows
+    under ``allow_partial=True``. Driver-side state is the distinct dead
+    TAG list (generations × batches — operations-scale, never data-scale;
+    the claims themselves stay distributed).
     """
     from ..operators.dedup import (
         LedgerLock,
@@ -884,17 +900,63 @@ def reclaim_orphaned_claims(
         ledger.filter(F.col("writer_id").isin(orphan_tags)), required=True
     )
 
+    # GC the orphans' uncommitted partial output (no _SUCCESS by
+    # definition) so raw readers of output_dir never see half a batch.
+    # This runs BEFORE the ledger rewrite: deleting partial files never
+    # creates _SUCCESS, so the orphan set stays re-derivable — a crash
+    # anywhere after this point still re-identifies the same tags on the
+    # next run. The reverse order (rewrite first) would leak the partial
+    # files permanently: once the tags are dropped/retagged, nothing
+    # re-derives the GC list.
+    for tag in orphan_tags:
+        g, _, bid = tag.partition("-b")
+        out_storage.delete_tree(f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}")
+
+    covered = None
     if mode == "quarantine":
         # Idempotent re-emission: per-tag dynamic-partition overwrite, so a
         # crash-rerun rewrites the same partitions instead of appending.
         keys = orphans.select(
             F.col("pk").alias("EventID"), F.col("writer_id").alias("reclaim_tag")
         )
-        matched = (
+        matched = pin(
             to_physical_rows(events)
             .dropDuplicates(["EventID"])
-            .join(keys, "EventID")
+            .join(keys, "EventID"),
+            required=True,
         )
+        # Coverage gate: an orphan pk the re-supplied source did NOT carry
+        # must not be retagged — retagging with zero quarantine rows would
+        # suppress the key forever with no triage record. Checked before
+        # anything is written, so a raise leaves ledger + quarantine
+        # untouched.
+        covered = matched.select(
+            F.col("EventID").alias("pk"),
+            F.col("reclaim_tag").alias("writer_id"),
+        ).distinct()
+        uncovered = pin(
+            orphans.join(covered, ["pk", "writer_id"], "left_anti"),
+            required=True,
+        )
+        n_uncovered = uncovered.count()
+        if n_uncovered:
+            sample = [r.pk for r in uncovered.select("pk").limit(5).collect()]
+            if not allow_partial:
+                raise ValueError(
+                    f"quarantine shortfall: {n_uncovered} orphaned claim(s) "
+                    f"have no matching EventID in the re-supplied events "
+                    f"source (sample pks: {sample}); nothing was retagged. "
+                    f"Re-run with a fuller source, or pass "
+                    f"allow_partial=True to reclaim only the covered claims."
+                )
+            import warnings
+
+            warnings.warn(
+                f"reclaim_orphaned_claims: allow_partial — leaving "
+                f"{n_uncovered} uncovered claim(s) as orphan candidates "
+                f"(sample pks: {sample})",
+                stacklevel=2,
+            )
         (
             matched.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -909,21 +971,31 @@ def reclaim_orphaned_claims(
         def _transform(current: DataFrame) -> DataFrame:
             return current.filter(~F.col("writer_id").isin(orphan_tags))
     else:
+        # Retag per-ROW against the covered (pk, writer_id) pairs — an
+        # uncovered claim keeps its dead tag and stays reclaimable. The
+        # covered side is pinned (localCheckpoint), so the join inside the
+        # locked rewrite never re-reads the ledger files being swapped.
+        cov_marked = covered.withColumn("__cov", F.lit(True))
+
         def _transform(current: DataFrame) -> DataFrame:
-            return current.withColumn(
-                "writer_id",
-                F.when(
-                    F.col("writer_id").isin(orphan_tags),
-                    F.concat(F.lit(_RECLAIMED_PREFIX), F.col("writer_id")),
-                ).otherwise(F.col("writer_id")),
+            return (
+                current.join(cov_marked, ["pk", "writer_id"], "left")
+                .withColumn(
+                    "writer_id",
+                    F.when(
+                        F.col("__cov"),
+                        F.concat(F.lit(_RECLAIMED_PREFIX), F.col("writer_id")),
+                    ).otherwise(F.col("writer_id")),
+                )
+                .select("pk", "seenAt", "expiresAt", "writer_id")
             )
     rewrite_ledger_atomic(spark, ledger_path, _transform, schema=ledger_schema)
 
-    # GC the orphans' uncommitted partial output (no _SUCCESS by
-    # definition) so raw readers of output_dir never see half a batch.
-    for tag in orphan_tags:
-        g, _, bid = tag.partition("-b")
-        out_storage.delete_tree(f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}")
+    if mode == "quarantine":
+        return pin(
+            orphans.join(covered, ["pk", "writer_id"], "left_semi"),
+            required=True,
+        )
     return orphans
 
 

@@ -15,8 +15,13 @@ from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
     decode_asset,
     extract_features,
     make_bmp_bytes,
+    make_jpeg420_bytes,
     make_jpeg_bytes,
+    make_jpeg_progressive_bytes,
+    make_png16_bytes,
     make_png_bytes,
+    make_png_interlaced_bytes,
+    make_png_palette_bytes,
     make_ppm_bytes,
     make_wav_bytes,
     synthesize_codec_assets_from_documents,
@@ -311,22 +316,58 @@ def test_png_channel_means_handbuilt():
 def test_real_decode_pipeline(spark):
     """End-to-end: executor-side synthesis of genuine codec payloads →
     mapInPandas real decode; features must equal local decode_asset output."""
-    docs = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
     assets = synthesize_codec_assets_from_documents(docs)
     assert dict(assets.dtypes)["content"] == "binary"
 
     rows = {r.asset_id: r for r in extract_features(assets, use_real_decoder=True).collect()}
-    assert len(rows) == 15
+    assert len(rows) == 30
     makers = {0: make_wav_bytes, 1: make_bmp_bytes, 2: make_ppm_bytes,
-              3: make_png_bytes, 4: make_jpeg_bytes}
-    for i in range(15):
-        payload = makers[i % 5](i)
+              3: make_png_bytes, 4: make_jpeg_bytes,
+              5: make_jpeg420_bytes, 6: make_jpeg_progressive_bytes,
+              7: make_png_palette_bytes, 8: make_png_interlaced_bytes,
+              9: make_png16_bytes}
+    for i in range(30):
+        payload = makers[i % 10](i)
         feats, frames = decode_asset(payload, rows[i].modality)
         assert rows[i].byte_len == len(payload)
         assert rows[i].frames_sampled == frames
         assert rows[i].feat_dim == len(feats)
         assert rows[i].feat_mean == pytest.approx(sum(feats) / len(feats))
-        assert rows[i].modality == ("audio" if i % 5 == 0 else "image")
+        assert rows[i].modality == ("audio" if i % 10 == 0 else "image")
+
+
+def test_profile_stripes_decode_distinct_lanes():
+    """The r12 stripes really route through the profile lanes they claim:
+    the 4:2:0 payload carries DRI, the progressive payload is SOF2, the
+    palette payload carries PLTE, the interlaced IHDR says Adam7, the
+    16-bit twin featurizes identically to its 8-bit base."""
+    j420 = make_jpeg420_bytes(3)
+    assert b"\xff\xdd" in j420  # DRI marker — restart interval in force
+    prog = make_jpeg_progressive_bytes(3)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog  # SOF2, not SOF0
+    pal = make_png_palette_bytes(3)
+    assert b"PLTE" in pal
+    inter = make_png_interlaced_bytes(3)
+    ihdr_off = inter.index(b"IHDR") + 4
+    assert inter[ihdr_off + 12] == 1  # interlace byte = Adam7
+    feats16, _ = decode_asset(make_png16_bytes(3), "image")
+    base = make_png_profile_bytes_816(3)
+    feats8, _ = decode_asset(base, "image")
+    assert feats16 == pytest.approx(feats8)
+    # and every stripe decodes through decode_asset without the PIL hook
+    for mk in (j420, prog, pal, inter):
+        feats, frames = decode_asset(mk, "image")
+        assert frames == 1 and len(feats) == 3
+
+
+def make_png_profile_bytes_816(seed: int) -> bytes:
+    """8-bit filter-0 twin of make_png16_bytes for the ×257 equality check."""
+    from quill_agent_dashboard_pbi_etl_spark.functions.multimodal import (
+        make_png_profile_bytes,
+    )
+
+    return make_png_profile_bytes(seed, 8, 8, color_type=2, bit_depth=8)
 
 
 # Golden feature vectors per LCG seed, computed once from the stdlib codecs

@@ -62,13 +62,19 @@ def test_committed_ladder_carries_the_flags():
     flip = data["streaming_ledger_gate"]["flip_point"]
     # the killed 0.60x cell: its pre-gate pair is flagged
     assert flip["vol60pct_seed100pct"]["bloom_pregate"]["ambient_suspect"]
-    # the r11 sf300 A/B: exact/nobcast walls are mutually consistent, the
-    # bimodal bloom walls (82 vs 155/158) are flagged — and because bloom
-    # holds the min, the wall-winner field itself carries the suspicion
+    # the r12 sf300 A/B: bloom's walls are bimodal (173.3/98.4 — flagged,
+    # third consecutive non-reproduction of the r10 win), exact/nobcast
+    # consistent; the winner is exact and is NOT suspect, and the r10 pair
+    # is demoted to "not reproducible on this box"
     ab = data["ledger_gate_crossover"]["sf300_ab"]["summary"]
     assert ab["exact_ambient_suspect"] is False
     assert ab["nobcast_ambient_suspect"] is False
     assert ab["bloom_ambient_suspect"] is True
-    assert ab["wall_winner_ambient_suspect"] is True
+    assert ab["wall_winner"] == "exact"
+    assert ab["wall_winner_ambient_suspect"] is False
     assert "note_r11" in data["ledger_gate_crossover"]["sf300_ab"]
+    assert "note_r12" in data["ledger_gate_crossover"]["sf300_ab"]
+    assert "not reproducible" in data["ledger_gate_crossover"]["sf300_ab"][
+        "r10_pair_status"
+    ]
     assert "ambient_flag_note" in data

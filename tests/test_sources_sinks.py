@@ -158,6 +158,98 @@ def test_compact_ledger_rewrites_in_place(spark, tmp_path):
     assert not os.path.exists(path + ".lock")
 
 
+def test_expiry_partitioned_ledger_layout_and_gate_parity(spark, tmp_path):
+    """append_ledger(partition_by_expiry=True) lays out expiryDay=<D>/
+    partitions; read_ledger returns the same logical rows as the flat
+    layout (partition column dropped) and partition-prunes expired days
+    when given now_epoch; the gate result is identical across layouts."""
+    import datetime as dt
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.dedup import ledger_gate
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), t0 - 2 * day),   # expired, old day
+            ("b", dt.datetime(2024, 1, 2), t0 - 3600),      # expired TODAY
+            ("c", dt.datetime(2024, 1, 3), t0 + 3600),      # live, today
+            ("d", dt.datetime(2024, 1, 4), t0 + 5 * day),   # live, future day
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    sinks.append_ledger(entries, flat)
+    sinks.append_ledger(entries, part, partition_by_expiry=True)
+    assert any(d.startswith("expiryDay=") for d in os.listdir(part))
+
+    got = {
+        (r.pk, r.expiresAt)
+        for r in sinks.read_ledger(spark, part).collect()
+    }
+    assert got == {(r.pk, r.expiresAt) for r in entries.collect()}
+    assert "expiryDay" not in sinks.read_ledger(spark, part).columns
+
+    events = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "dedup_key string"
+    )
+    survivors_flat = {
+        r.dedup_key
+        for r in ledger_gate(
+            events, sinks.read_ledger(spark, flat), now_epoch=t0
+        ).collect()
+    }
+    survivors_part = {
+        r.dedup_key
+        for r in ledger_gate(
+            events, sinks.read_ledger(spark, part, now_epoch=t0), now_epoch=t0
+        ).collect()
+    }
+    # expired a/b re-admit; live c/d blocked; e unseen
+    assert survivors_flat == survivors_part == {"a", "b", "e"}
+
+
+def test_compact_ledger_partitioned_drops_whole_days(spark, tmp_path):
+    """On the expiry-partitioned layout, compaction drops exactly the fully
+    expired day directories (no rewrite, no swap debris), keeps the
+    boundary day whole (row-level TTL still gates it), counts the dropped
+    rows, and reruns as a no-op."""
+    import datetime as dt
+    import os
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), t0 - 2 * day),   # day 2024-01-08
+            ("a2", dt.datetime(2024, 1, 1), t0 - 2 * day),  # same dead day
+            ("b", dt.datetime(2024, 1, 2), t0 - 3600),      # boundary day, expired
+            ("c", dt.datetime(2024, 1, 3), t0 + 3600),      # boundary day, live
+            ("d", dt.datetime(2024, 1, 4), t0 + 5 * day),   # future day
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+
+    dropped = sinks.compact_ledger(spark, path, now_epoch=t0)
+    assert dropped == 2  # only the 2024-01-08 partition is fully past
+    left = {r.pk for r in sinks.read_ledger(spark, path).collect()}
+    assert left == {"b", "c", "d"}  # boundary day intact (b still gated out row-level)
+    days = sorted(
+        d for d in os.listdir(path) if d.startswith("expiryDay=")
+    )
+    assert days == ["expiryDay=2024-01-10", "expiryDay=2024-01-15"]
+    # idempotent; no lock/swap debris
+    assert sinks.compact_ledger(spark, path, now_epoch=t0) == 0
+    assert not os.path.exists(path + ".lock")
+    assert not os.path.exists(path + ".reclaim-new")
+    # the NEXT day's run retires the then-complete boundary day
+    assert sinks.compact_ledger(spark, path, now_epoch=t0 + day) == 2
+    assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"d"}
+
+
 def test_push_rows_rest_chunking(spark):
     """K1 REST push shape: ≤ max rows per POST, all rows delivered."""
     df = spark.createDataFrame([(i,) for i in range(25)], "id long").coalesce(2)

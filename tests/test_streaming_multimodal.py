@@ -1072,6 +1072,154 @@ def test_reclaim_orphaned_claims_release_readmits_once(spark, tmp_path):
     assert emitted == ["ALOWARE:1", "ALOWARE:10"]
 
 
+def test_reclaim_quarantine_shortfall_raises_and_retags_nothing(spark, tmp_path):
+    """An events source that does NOT re-supply an orphaned EventID must not
+    let quarantine mode retag that claim (retag + zero quarantine rows =
+    permanently invisible loss). Default: raise, ledger untouched, so a
+    later run with a fuller source can still reclaim."""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    truncated = s["events"].filter(F.col("EventID") != "ALOWARE:1")
+
+    with pytest.raises(ValueError, match="quarantine shortfall"):
+        reclaim_orphaned_claims(
+            spark, s["ledger"], s["out"], [s["ckpt2"]],
+            mode="quarantine", events=truncated, quarantine_dir=qdir,
+        )
+    # nothing retagged, nothing quarantined — the claim is still an orphan
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"{s['g1']}-b1"
+    import os
+    assert not os.path.exists(qdir) or not [
+        f for f in os.listdir(qdir) if f.startswith("reclaim_tag=")
+    ]
+    # a later run with the FULL source reclaims normally
+    reclaimed = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=s["events"], quarantine_dir=qdir,
+    )
+    assert [r.pk for r in reclaimed.collect()] == ["ALOWARE:1"]
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"reclaimed:{s['g1']}-b1"
+
+
+def test_reclaim_quarantine_allow_partial_leaves_uncovered_claims(spark, tmp_path):
+    """allow_partial=True with a truncated source: the uncovered claim keeps
+    its dead tag (still a reclaim candidate) and the return carries only the
+    covered rows — here, none."""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    truncated = s["events"].filter(F.col("EventID") != "ALOWARE:1")
+
+    reclaimed = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=truncated, quarantine_dir=qdir,
+        allow_partial=True,
+    )
+    assert reclaimed.count() == 0
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"{s['g1']}-b1"  # NOT retagged — reclaimable
+    # the fuller source then covers it
+    reclaimed = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=s["events"], quarantine_dir=qdir,
+        allow_partial=True,
+    )
+    assert [r.pk for r in reclaimed.collect()] == ["ALOWARE:1"]
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"reclaimed:{s['g1']}-b1"
+    quarantined = spark.read.parquet(qdir).collect()
+    assert [(r.EventID, r.reclaim_tag) for r in quarantined] == [
+        ("ALOWARE:1", f"{s['g1']}-b1")
+    ]
+
+
+def test_reclaim_gc_runs_before_ledger_rewrite(spark, tmp_path):
+    """ADVICE r11: partial (uncommitted) output must be GC'd BEFORE the
+    ledger rewrite — a crash between the rewrite and a later GC would drop
+    the tags that make the garbage re-derivable, leaking it permanently.
+    Staged here as the rewrite raising: the partial dir must already be
+    gone, the claim untouched, and a clean re-run must still reclaim."""
+    import os
+
+    import quill_agent_dashboard_pbi_etl_spark.operators.dedup as _dedup
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    # fabricate the partial (no _SUCCESS) output the dead batch left behind
+    partial = os.path.join(s["out"], f"gen={s['g1']}", "batch_id=1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+
+    real_rewrite = _dedup.rewrite_ledger_atomic
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash at the ledger rewrite")
+
+    _dedup.rewrite_ledger_atomic = _boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            reclaim_orphaned_claims(
+                spark, s["ledger"], s["out"], [s["ckpt2"]], mode="release"
+            )
+    finally:
+        _dedup.rewrite_ledger_atomic = real_rewrite
+    assert not os.path.exists(partial)  # GC happened before the rewrite
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"{s['g1']}-b1"  # claim survived the crash
+    # the orphan set was re-derivable: the rerun reclaims normally
+    reclaimed = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]], mode="release"
+    )
+    assert [r.pk for r in reclaimed.collect()] == ["ALOWARE:1"]
+
+
+def test_reclaim_ledger_cli_smoke(spark, tmp_path):
+    """tools/reclaim_ledger.py: one command = reclaim (quarantine) +
+    compaction, RUNBOOK defaults; prints/returns the JSON summary."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import reclaim_ledger as _cli
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    summary = _cli.main(
+        [
+            "--ledger", s["ledger"],
+            "--output-dir", s["out"],
+            "--live-ckpt", s["ckpt2"],
+            "--mode", "quarantine",
+            "--events-landing", str(s["landing"]),
+            "--quarantine-dir", qdir,
+            "--compact",
+            "--now-epoch", str(s["now_epoch"]),
+        ],
+        spark=spark,
+    )
+    assert summary["reclaimed"] == 1
+    assert summary["reclaimed_pks_sample"] == ["ALOWARE:1"]
+    assert summary["compacted"] == 0  # nothing expired at the scenario clock
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"reclaimed:{s['g1']}-b1"
+    assert spark.read.parquet(qdir).count() == 1
+
+
 def test_finish_interrupted_ledger_swap_states(tmp_path):
     """Every crash point of the rename swap resolves without losing a row:
     (a) between the two renames → finish with NEW; (b) before any rename →
