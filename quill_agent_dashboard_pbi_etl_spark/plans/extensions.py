@@ -538,8 +538,12 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         synthesize_codec_assets_from_documents,
     )
+    from ..sources.readers import ensure_min_partitions
 
-    docs = load_table(spark, sf_dir, "documents")
+    # The codec work (Python entropy decode on the JPEG stripes) is the
+    # CPU-heavy projection ensure_min_partitions exists for: single-file
+    # driver testdata scans as ONE task, serializing the whole decode.
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     assets = synthesize_codec_assets_from_documents(docs)
     return extract_features(assets, use_real_decoder=True).select(
         "asset_id",
