@@ -415,3 +415,38 @@ def test_progressive_grayscale_single_component_scans():
     out_p = jpeg.decode_baseline_jpeg(progressive)
     assert out_b.shape == out_p.shape == (h, w, 1)
     assert (out_b == out_p).all()
+
+
+def test_multiscan_sequential_raises_not_implemented():
+    """A legal T.81 sequential file with multiple scans (SOF0 + the
+    progressive scan script) must classify as valid-but-unsupported
+    (NotImplementedError — the PIL plug-in hook), never as malformed
+    ValueError: non-interleaved sequential scans are spec-legal."""
+    rgb = _gradient_rgb(16, 16)
+    payload = bytearray(jpeg.encode_progressive_jpeg(rgb, "444", al=0))
+    idx = payload.find(b"\xff\xc2")
+    assert idx >= 0
+    payload[idx + 1] = 0xC0  # SOF2 -> SOF0: now a multi-scan SEQUENTIAL file
+    with pytest.raises(NotImplementedError, match="multi-scan sequential"):
+        jpeg.decode_baseline_jpeg(bytes(payload))
+
+
+def test_partial_sequential_scan_raises_not_implemented():
+    """A single SOF0 scan covering only a component subset (legal
+    non-interleaved sequential) is an unsupported profile, not a
+    malformed file."""
+    payload = bytearray(jpeg.encode_baseline_jpeg(_gradient_rgb(8, 8)))
+    idx = payload.find(b"\xff\xda")
+    assert idx >= 0
+    # SOS layout: FFDA len(2) Ns [Cs Td/Ta]*Ns Ss Se Ah/Al. Rewrite the
+    # header to carry ONLY the first component (drop 2 entries = 4 bytes).
+    ns = payload[idx + 4]
+    assert ns == 3
+    new_header = (
+        b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + b"\x01"
+        + bytes(payload[idx + 5 : idx + 7])       # first component spec
+        + bytes(payload[idx + 11 : idx + 14])     # Ss Se AhAl
+    )
+    doctored = bytes(payload[:idx]) + new_header + bytes(payload[idx + 14 :])
+    with pytest.raises(NotImplementedError, match="non-interleaved sequential"):
+        jpeg.decode_baseline_jpeg(doctored)
