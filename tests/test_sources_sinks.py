@@ -210,6 +210,35 @@ def test_expiry_partitioned_ledger_layout_and_gate_parity(spark, tmp_path):
     assert survivors_flat == survivors_part == {"a", "b", "e"}
 
 
+def test_read_ledger_prunes_expired_partitions_in_plan(spark, tmp_path):
+    """The now_epoch predicate must land as a PARTITION filter on the scan
+    (whole expired days never leave the manifest), not a post-scan row
+    filter. Partition filters are fixed at analysis time, so the initial
+    plan is the right object here."""
+    import datetime as dt
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), t0 - 2 * day),
+            ("d", dt.datetime(2024, 1, 4), t0 + 5 * day),
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+    plan = (
+        sinks.read_ledger(spark, path, now_epoch=t0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "expiryDay" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "2024-01-10" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
 def test_compact_ledger_partitioned_drops_whole_days(spark, tmp_path):
     """On the expiry-partitioned layout, compaction drops exactly the fully
     expired day directories (no rewrite, no swap debris), keeps the
