@@ -609,9 +609,23 @@ def rewrite_ledger_atomic(spark, ledger_path: str, transform, schema=None):
     object stores use a Delta/Iceberg ledger where DELETE/MERGE are
     transactional. Returns the rewritten DataFrame (reading the new
     files). Used by TTL compaction (``sinks.compact_ledger``) and the
-    streaming orphan-reclaim job."""
+    streaming orphan-reclaim job.
+
+    LAYOUT-PRESERVING: on an expiry-partitioned ledger
+    (``sinks.append_ledger(partition_by_expiry=True)``) the scratch dir is
+    written with the same ``expiryDay=`` partitioning, so a rewrite (TTL
+    compaction on the flat path, orphan release/retag) never silently
+    flattens the production layout. ``transform`` stays layout-agnostic:
+    the partition column is dropped before the transform runs and
+    RE-DERIVED from ``expiresAt`` afterwards — valid because ``expiryDay``
+    is a pure UTC function of ``expiresAt`` (``sinks.expiry_day_col``), so
+    any transform that filters/retags rows (or even rewrites
+    ``expiresAt``) yields the correct partition for every surviving row by
+    construction."""
     import os
     import shutil
+
+    from ..sinks import expiry_day_col, ledger_is_partitioned
 
     if "://" in ledger_path:
         raise NotImplementedError(
@@ -621,15 +635,28 @@ def rewrite_ledger_atomic(spark, ledger_path: str, transform, schema=None):
         )
     with LedgerLock(ledger_path):
         finish_interrupted_ledger_swap(ledger_path)
+        partitioned = ledger_is_partitioned(ledger_path)
         reader = spark.read.schema(schema) if schema is not None else spark.read
-        rewritten = transform(reader.parquet(ledger_path))
+        current = reader.parquet(ledger_path)
+        if "expiryDay" in current.columns:
+            current = current.drop("expiryDay")
+        rewritten = transform(current)
         new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
-        rewritten.write.mode("overwrite").parquet(new)
+        if partitioned:
+            (
+                rewritten.withColumn("expiryDay", expiry_day_col())
+                .write.mode("overwrite")
+                .partitionBy("expiryDay")
+                .parquet(new)
+            )
+        else:
+            rewritten.write.mode("overwrite").parquet(new)
         os.rename(ledger_path, old)
         os.rename(new, ledger_path)
         shutil.rmtree(old, ignore_errors=True)
     final = spark.read.schema(schema) if schema is not None else spark.read
-    return final.parquet(ledger_path)
+    out = final.parquet(ledger_path)
+    return out.drop("expiryDay") if "expiryDay" in out.columns else out
 
 
 def ledger_update_atomic(
@@ -648,20 +675,31 @@ def ledger_update_atomic(
     The returned survivors are materialized (collect-free ``localCheckpoint``)
     before the lock releases, so the gate's view of the ledger cannot be
     invalidated by a later writer re-running this plan lazily.
+
+    Layout-aware: on an expiry-partitioned ledger the gate read
+    partition-prunes the expired ``expiryDay=`` directories
+    (``sinks.read_ledger``; the row-level ``expiresAt`` filter inside
+    :func:`ledger_gate` stays authoritative for the boundary day) and the
+    append matches the existing layout (``sinks.append_ledger`` auto-
+    detect) — a flat append into a partitioned root would break partition
+    discovery for every later reader.
     """
     from ..schemas import LEDGER_SCHEMA
+    from ..sinks import append_ledger, read_ledger
 
     spark = events.sparkSession
+    if now_epoch is None:
+        now_epoch = int(time.time())
     with LedgerLock(ledger_path):
         try:
-            ledger = spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path)
+            ledger = read_ledger(spark, ledger_path, now_epoch=now_epoch)
         except Exception:  # first writer bootstraps an empty ledger
             ledger = spark.createDataFrame([], LEDGER_SCHEMA)
         survivors = pin(
             ledger_gate(events, ledger, key_col, now_epoch), required=True
         )
         new_entries = ledger_new_entries(survivors, seen_at, key_col, ttl_days)
-        new_entries.write.mode("append").parquet(ledger_path)
+        append_ledger(new_entries, ledger_path)
     return survivors
 
 

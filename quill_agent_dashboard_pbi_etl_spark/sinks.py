@@ -14,7 +14,7 @@ import math
 import os
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -116,26 +116,67 @@ def ledger_bootstrap(spark: SparkSession, path: str) -> None:
     spark.createDataFrame([], LEDGER_SCHEMA).write.mode("overwrite").parquet(path)
 
 
+def expiry_day_col(expires: Column | None = None) -> Column:
+    """The ledger partition key: the UTC calendar day of ``expiresAt``,
+    derived by pure epoch arithmetic (``floor(epoch / 86400)`` days since
+    1970-01-01) — NEVER via ``from_unixtime``/``to_date``, which follow
+    ``spark.sql.session.timeZone`` and would shift day boundaries against
+    :func:`compact_ledger`'s hard-UTC cutoff under a non-UTC session. One
+    derivation, used by every writer (batch append, streaming claim sink,
+    the layout-preserving rewrite), so the layout is session-tz-invariant
+    by construction."""
+    if expires is None:
+        expires = F.col("expiresAt")
+    return F.date_from_unix_date(
+        F.floor(expires / F.lit(86400)).cast("int")
+    )
+
+
+def utc_day_of(epoch: int) -> str:
+    """``epoch`` seconds → its UTC calendar day as ``YYYY-MM-DD`` — the
+    driver-side twin of :func:`expiry_day_col`, used for partition-pruning
+    literals and compaction cutoffs."""
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(epoch, tz=_dt.timezone.utc).strftime(
+        "%Y-%m-%d"
+    )
+
+
+def ledger_is_partitioned(path: str) -> bool:
+    """True when ``path`` holds an expiry-partitioned ledger
+    (``expiryDay=<D>/`` directories). POSIX listing — the partitioned
+    layout is POSIX-scoped like the rest of the parquet-ledger machinery
+    (object-store ledgers belong on Delta/Iceberg MERGE)."""
+    if "://" in path or not os.path.isdir(path):
+        return False
+    return any(d.startswith("expiryDay=") for d in os.listdir(path))
+
+
 def append_ledger(
-    entries: DataFrame, path: str, partition_by_expiry: bool = False
+    entries: DataFrame, path: str, partition_by_expiry: bool | None = None
 ) -> None:
     """K4 ledger append after a successful gate+post cycle. Single-writer per
     pipeline run; use Delta ``MERGE ... WHEN NOT MATCHED INSERT`` when
     concurrent writers exist (SURVEY.md §7 risk register).
 
     ``partition_by_expiry=True`` lays the ledger out as
-    ``expiryDay=<utc date of expiresAt>/`` partitions — the RUNBOOK "Ledger
+    ``expiryDay=<UTC date of expiresAt>/`` partitions — the RUNBOOK "Ledger
     lifecycle" production layout: TTL compaction then collapses to dropping
     whole partition directories (no rewrite, no full scan — see
     :func:`compact_ledger`), and a gate reading through
     :func:`read_ledger` partition-prunes the expired days at scan time.
-    Pick ONE layout per ledger path and stick to it; the streaming claim
-    sink stays unpartitioned (its rewrite jobs need the flat layout)."""
+    The default ``None`` auto-detects: appends match whatever layout the
+    ledger at ``path`` already has (a fresh path starts flat), so no append
+    can ever mix layouts under one root — a flat file dropped into a
+    partitioned root breaks partition discovery for every later reader.
+    The day key is hard-UTC epoch arithmetic (:func:`expiry_day_col`),
+    session-timezone-proof by construction."""
+    if partition_by_expiry is None:
+        partition_by_expiry = ledger_is_partitioned(path)
     if partition_by_expiry:
         (
-            entries.withColumn(
-                "expiryDay", F.to_date(F.from_unixtime(F.col("expiresAt")))
-            )
+            entries.withColumn("expiryDay", expiry_day_col())
             .write.mode("append")
             .partitionBy("expiryDay")
             .parquet(path)
@@ -149,17 +190,32 @@ def read_ledger(
 ) -> DataFrame:
     """Load a ledger written by :func:`append_ledger`, either layout. On an
     expiry-partitioned ledger with ``now_epoch`` given, applies the
-    ``expiryDay >= day(now)`` predicate — a PARTITION-PRUNING filter (whole
-    expired days never leave the manifest, the row-level ``expiresAt``
-    check in the gate stays authoritative for the boundary day). Returns
-    the ledger columns (pk, seenAt, expiresAt, + any claim-tag columns);
-    the partition column is dropped."""
-    df = spark.read.parquet(path)
+    ``expiryDay >= utc_day(now)`` predicate — a PARTITION-PRUNING filter
+    (whole expired days never leave the manifest, the row-level
+    ``expiresAt`` check in the gate stays authoritative for the boundary
+    day). The cutoff literal is hard-UTC (:func:`utc_day_of`), matching
+    the write-side :func:`expiry_day_col` and :func:`compact_ledger`'s
+    cutoff regardless of ``spark.sql.session.timeZone``. Returns the
+    ledger columns (pk, seenAt, expiresAt, + any claim-tag columns); the
+    partition column is dropped.
+
+    Compaction race: :func:`compact_ledger` on this layout deletes whole
+    expired ``expiryDay=`` directories under the ledger lock, and a gate
+    scan holds no lock — so a file this reader listed can vanish before
+    its task runs. The partitioned read therefore sets
+    ``ignoreMissingFiles``: semantically exact here, because compaction
+    only ever removes directories whose every row is already expired —
+    rows the gate's row-level ``expiresAt`` filter would drop anyway. A
+    concurrent reader misses only data it must not see."""
+    is_part = ledger_is_partitioned(path)
+    reader = spark.read
+    if is_part:
+        reader = reader.option("ignoreMissingFiles", "true")
+    df = reader.parquet(path)
     if "expiryDay" in df.columns:
         if now_epoch is not None:
             df = df.filter(
-                F.col("expiryDay")
-                >= F.to_date(F.from_unixtime(F.lit(now_epoch)))
+                F.col("expiryDay") >= F.lit(utc_day_of(now_epoch)).cast("date")
             )
         df = df.drop("expiryDay")
     return df
@@ -199,8 +255,11 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
     dropped by tomorrow's run). Each directory delete is independent and
     idempotent, so a crash mid-compaction just leaves some expired
     partitions for the next run — no swap machinery needed, and the scan
-    cost is the EXPIRED partitions only, never the live ledger."""
-    import datetime as _dt
+    cost is the EXPIRED partitions only, never the live ledger. A
+    directory's rows count toward the return value only after its delete
+    verifiably completed, so the total can under-report a crashed partial
+    delete (the survivors are recounted next run) but never double-count
+    one."""
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -216,22 +275,34 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
         if d.startswith("expiryDay=")
     ]
     if part_dirs:
-        cutoff_day = _dt.datetime.fromtimestamp(
-            now_epoch, tz=_dt.timezone.utc
-        ).strftime("%Y-%m-%d")
+        cutoff_day = utc_day_of(now_epoch)
         expired = sorted(
             d for d in part_dirs if d.removeprefix("expiryDay=") < cutoff_day
         )
         if not expired:
             return 0
+        # Per-directory count-then-delete, and a directory's rows join the
+        # returned total only AFTER its delete verifiably completed — a
+        # failed/partial rmtree must not inflate the count (the leftover
+        # rows would be double-counted by the next run). The read carries
+        # an explicit schema: a crash between a delete's file unlinks and
+        # its dir unlink can leave an EMPTY expiryDay= directory, which
+        # would fail schema inference on the next run when the empty dirs
+        # are the only expired ones. Each count is a footer-only metadata
+        # job over one TTL-day directory — operations-scale, never
+        # ledger-scale.
+        base_schema = "pk string, seenAt timestamp, expiresAt long"
+        n = 0
         with LedgerLock(path):
-            n = (
-                spark.read.parquet(
-                    *[_os.path.join(path, d) for d in expired]
-                ).count()
-            )
             for d in expired:
-                _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
+                full = _os.path.join(path, d)
+                n_dir = spark.read.schema(base_schema).parquet(full).count()
+                try:
+                    _shutil.rmtree(full)
+                except OSError:
+                    continue  # partial delete: recounted + retried next run
+                if not _os.path.exists(full):
+                    n += n_dir
         return n
 
     dropped = {"n": 0}

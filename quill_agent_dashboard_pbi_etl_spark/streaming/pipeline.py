@@ -232,10 +232,23 @@ def start_ledger_gated_fact_sink(
     now_epoch: int | None = None,
     storage: StateStorage | None = None,
     bloom_pregate: bool | str = False,
+    partition_by_expiry: bool = False,
 ) -> StreamingQuery:
     """K4 under streaming: per-micro-batch atomic ledger gate+mark against an
     EXTERNAL parquet ledger (the reference's DynamoDB cycle verbatim,
     ledger.repo.ts:16-27), then the K1 append sink.
+
+    ``partition_by_expiry=True`` keeps the ledger in the expiry-partitioned
+    production layout (``sinks.append_ledger``): every per-batch gate scan
+    partition-prunes the expired ``expiryDay=`` directories at the
+    manifest — the scan the stream pays EVERY trigger — and the read-back
+    verify prunes to the single day the batch's claims expire on (all of a
+    batch's claims share ``expiresAt = now + ttl``). Claims, tags, crash
+    recovery, and the reclaim job are layout-independent: the rewrite path
+    (``rewrite_ledger_atomic``) preserves the partitioning by re-deriving
+    ``expiryDay`` from ``expiresAt``. On an existing ledger the appends
+    auto-match its layout either way, so flipping this flag mid-life never
+    mixes layouts under one root.
 
     Why this exists alongside ``dropDuplicatesWithinWatermark``: the state-
     store dedup horizon lives INSIDE the streaming checkpoint — rebuild the
@@ -334,6 +347,7 @@ def start_ledger_gated_fact_sink(
         probe_volume_estimate,
     )
     from ..operators.materialize import pin
+    from ..sinks import append_ledger, read_ledger, utc_day_of
 
     if bloom_pregate not in (True, False, "auto"):
         raise ValueError(
@@ -372,7 +386,11 @@ def start_ledger_gated_fact_sink(
         )
         with LedgerLock(ledger_path):
             try:
-                ledger = spark.read.schema(sink_ledger_schema).parquet(ledger_path)
+                # Partition-prunes expired expiryDay= dirs on the
+                # partitioned layout (the scan paid every trigger); the
+                # row-level TTL filter below stays authoritative for the
+                # boundary day. Flat layout: plain full read, as before.
+                ledger = read_ledger(spark, ledger_path, now_epoch=now)
             except Exception:  # first batch bootstraps the ledger
                 ledger = spark.createDataFrame([], sink_ledger_schema)
             live = ledger.filter(F.col("expiresAt") >= F.lit(now)).select(
@@ -453,14 +471,30 @@ def start_ledger_gated_fact_sink(
             # long-running stream doesn't shed one empty parquet file set
             # per trigger.
             if not claims.isEmpty():
-                claims.write.mode("append").parquet(ledger_path)
+                # Matches the ledger's existing layout (auto-detect), or
+                # establishes the partitioned layout when this sink was
+                # started with partition_by_expiry=True.
+                append_ledger(
+                    claims,
+                    ledger_path,
+                    partition_by_expiry=(True if partition_by_expiry else None),
+                )
         # Verify outside the lock: survivors = the keys THIS tag owns in the
         # durable ledger — replay-stable even if we crashed mid-cycle above.
-        claimed = (
+        claimed_src = (
             spark.read.schema(sink_ledger_schema)
+            .option("ignoreMissingFiles", "true")
             .parquet(ledger_path)
-            .filter(F.col("writer_id") == tag)
-            .select(F.col("pk").alias("EventID"))
+        )
+        if "expiryDay" in claimed_src.columns:
+            # Every claim this batch made shares expiresAt = now + ttl, so
+            # the read-back needs exactly ONE partition day — prune to it.
+            claim_day = utc_day_of(now + ttl_days * 86400)
+            claimed_src = claimed_src.filter(
+                F.col("expiryDay") == F.lit(claim_day).cast("date")
+            )
+        claimed = claimed_src.filter(F.col("writer_id") == tag).select(
+            F.col("pk").alias("EventID")
         )
         survivors = unique.join(claimed, "EventID", "left_semi")
         (
@@ -793,7 +827,10 @@ def reclaim_orphaned_claims(
     overwrite completes, so its absence is exactly "died before writing".
     Uncommitted partial output files under an orphaned tag's directory are
     deleted (they are protocol garbage a raw parquet reader would
-    otherwise surface).
+    otherwise surface) — immediately in release mode, but in quarantine
+    mode only AFTER the coverage gate passes: on a shortfall raise those
+    partials are the last on-disk trace of the uncovered events, so a
+    raise deletes nothing.
 
     ``mode="release"`` deletes the orphaned claim rows: the next replay of
     the source through the (new-generation) stream re-admits those events
@@ -807,19 +844,26 @@ def reclaim_orphaned_claims(
     keeps suppressing those keys, so nothing double-emits) but no longer
     orphan candidates. Both modes are idempotent: re-running after a crash
     at any point re-derives the same orphan set and the quarantine write
-    is a per-tag dynamic-partition overwrite, so a reclaimed event lands
-    in quarantine exactly once.
+    is a per-tag dynamic-partition overwrite that carries forward any
+    previously-quarantined rows of the re-identified tags, so a reclaimed
+    event lands in quarantine exactly once.
 
     Quarantine mode VERIFIES coverage before it retags: every orphaned pk
     must be present in ``events`` (the contract says the replayable source
     re-supplies them — an operator re-running with a truncated source
     would otherwise retag claims whose events landed NOWHERE, turning the
     loss invisible). On a shortfall the default is to raise ``ValueError``
-    with the uncovered count and sample keys, leaving the ledger untouched
-    so a later run with a fuller source can still reclaim. Under
+    with the uncovered count and sample keys, leaving the ledger, the
+    quarantine dir AND the orphans' partial output untouched so a later
+    run with a fuller source can still reclaim. Under
     ``allow_partial=True`` only the COVERED claim rows are retagged and
     quarantined; uncovered claims keep their dead tag and remain orphan
-    candidates (the shortfall is logged).
+    candidates (the shortfall is logged). A tag covered incrementally
+    across such runs accumulates: rows quarantined by an earlier run that
+    the current source does not re-supply are carried forward through the
+    partition overwrite (new rows win per EventID), so the fuller-source
+    rerun this contract advertises extends the triage records instead of
+    clobbering them.
 
     The ledger rewrite (a filter/retag needs row deletion parquet cannot
     do in place) goes through ``operators.dedup.rewrite_ledger_atomic`` —
@@ -873,6 +917,8 @@ def reclaim_orphaned_claims(
         ledger = spark.read.schema(ledger_schema).parquet(ledger_path)
     except Exception:  # no ledger yet — nothing to reclaim
         return spark.createDataFrame([], ledger_schema)
+    if "expiryDay" in ledger.columns:  # expiry-partitioned layout
+        ledger = ledger.drop("expiryDay")
 
     # Dead-generation sink tags, then keep only those without committed
     # output. The distinct-tag collect is bounded driver-side state.
@@ -900,20 +946,25 @@ def reclaim_orphaned_claims(
         ledger.filter(F.col("writer_id").isin(orphan_tags)), required=True
     )
 
-    # GC the orphans' uncommitted partial output (no _SUCCESS by
-    # definition) so raw readers of output_dir never see half a batch.
-    # This runs BEFORE the ledger rewrite: deleting partial files never
-    # creates _SUCCESS, so the orphan set stays re-derivable — a crash
-    # anywhere after this point still re-identifies the same tags on the
-    # next run. The reverse order (rewrite first) would leak the partial
-    # files permanently: once the tags are dropped/retagged, nothing
-    # re-derives the GC list.
-    for tag in orphan_tags:
-        g, _, bid = tag.partition("-b")
-        out_storage.delete_tree(f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}")
+    def _gc_partial_output() -> None:
+        # GC the orphans' uncommitted partial output (no _SUCCESS by
+        # definition) so raw readers of output_dir never see half a batch.
+        # This runs BEFORE the ledger rewrite: deleting partial files never
+        # creates _SUCCESS, so the orphan set stays re-derivable — a crash
+        # anywhere after this point still re-identifies the same tags on
+        # the next run. The reverse order (rewrite first) would leak the
+        # partial files permanently: once the tags are dropped/retagged,
+        # nothing re-derives the GC list.
+        for tag in orphan_tags:
+            g, _, bid = tag.partition("-b")
+            out_storage.delete_tree(
+                f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}"
+            )
 
     covered = None
-    if mode == "quarantine":
+    if mode == "release":
+        _gc_partial_output()
+    else:
         # Idempotent re-emission: per-tag dynamic-partition overwrite, so a
         # crash-rerun rewrites the same partitions instead of appending.
         keys = orphans.select(
@@ -928,8 +979,12 @@ def reclaim_orphaned_claims(
         # Coverage gate: an orphan pk the re-supplied source did NOT carry
         # must not be retagged — retagging with zero quarantine rows would
         # suppress the key forever with no triage record. Checked before
-        # anything is written, so a raise leaves ledger + quarantine
-        # untouched.
+        # anything is written OR deleted: a raise leaves ledger, quarantine
+        # AND the orphans' partial output files untouched — in exactly the
+        # truncated-source scenario this gate detects, those partials are
+        # the only remaining on-disk trace of the uncovered events, so the
+        # GC below is deferred until the gate passes (release mode GCs
+        # immediately: the replay source is the recovery there).
         covered = matched.select(
             F.col("EventID").alias("pk"),
             F.col("reclaim_tag").alias("writer_id"),
@@ -957,8 +1012,33 @@ def reclaim_orphaned_claims(
                 f"(sample pks: {sample})",
                 stacklevel=2,
             )
+        _gc_partial_output()
+        # A tag can be quarantined INCREMENTALLY across runs (allow_partial
+        # run 1 covers some pks; a later run with a fuller source covers
+        # more — the uncovered rows kept their dead tag, so the tag is
+        # re-identified). The dynamic overwrite replaces whole reclaim_tag=
+        # partitions, so carry forward any previously-quarantined rows of
+        # these tags that this run's source did not re-supply — otherwise
+        # the rerun the docstring advertises would destroy run 1's triage
+        # records. New rows win on (EventID, reclaim_tag); the union is
+        # pinned because the write overwrites the very files it was read
+        # from.
+        to_write = matched
+        try:
+            existing = spark.read.parquet(quarantine_dir).filter(
+                F.col("reclaim_tag").isin(orphan_tags)
+            )
+        except Exception:  # first quarantine write at this dir
+            existing = None
+        if existing is not None:
+            carried = existing.join(
+                matched.select("EventID", "reclaim_tag"),
+                ["EventID", "reclaim_tag"],
+                "left_anti",
+            )
+            to_write = pin(matched.unionByName(carried), required=True)
         (
-            matched.write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("reclaim_tag")
             .parquet(quarantine_dir)

@@ -279,6 +279,221 @@ def test_compact_ledger_partitioned_drops_whole_days(spark, tmp_path):
     assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"d"}
 
 
+def test_ledger_expiry_day_is_utc_under_non_utc_session(spark, tmp_path):
+    """Directive r12-4: the expiryDay derivation must be hard-UTC epoch
+    arithmetic, immune to spark.sql.session.timeZone — otherwise a non-UTC
+    session writing or reading the ledger shifts day boundaries against
+    compact_ledger's hard-UTC cutoff. Pin: under America/New_York, the
+    layout, the read-side pruning cutoff, and the compaction cutoff all
+    agree with the UTC session's."""
+    import datetime as dt
+
+    day = 86400
+    # 2024-01-10 02:00 UTC == 2024-01-09 21:00 in New York: a session-tz
+    # derivation would bucket this expiry into the WRONG day (01-09).
+    t_edge = int(dt.datetime(2024, 1, 10, 2, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("edge", dt.datetime(2024, 1, 1), t_edge),
+            ("old", dt.datetime(2024, 1, 1), t_edge - 3 * day),
+            ("new", dt.datetime(2024, 1, 1), t_edge + 3 * day),
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path / "ledger")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sinks.append_ledger(entries, path, partition_by_expiry=True)
+        import os
+
+        days = sorted(
+            d for d in os.listdir(path) if d.startswith("expiryDay=")
+        )
+        assert days == [
+            "expiryDay=2024-01-07",
+            "expiryDay=2024-01-10",  # NOT 2024-01-09 (the NY-local day)
+            "expiryDay=2024-01-13",
+        ]
+        # read-side pruning at now = t_edge keeps the UTC boundary day
+        live = {
+            r.pk
+            for r in sinks.read_ledger(spark, path, now_epoch=t_edge).collect()
+        }
+        assert live == {"edge", "new"}
+        # compaction cutoff agrees: drops exactly the 01-07 dir
+        assert sinks.compact_ledger(spark, path, now_epoch=t_edge) == 1
+        left = {r.pk for r in sinks.read_ledger(spark, path).collect()}
+        assert left == {"edge", "new"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_append_ledger_auto_matches_existing_layout(spark, tmp_path):
+    """append_ledger's default (partition_by_expiry=None) auto-detects the
+    existing layout — a default append into a partitioned root must land
+    partitioned (a flat file there breaks partition discovery for every
+    later reader), and a default append to a fresh/flat path stays flat."""
+    import datetime as dt
+    import os
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    first = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), t0 + day)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    more = spark.createDataFrame(
+        [("b", dt.datetime(2024, 1, 2), t0 + 2 * day)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+
+    part = str(tmp_path / "part")
+    sinks.append_ledger(first, part, partition_by_expiry=True)
+    sinks.append_ledger(more, part)  # default: must match the layout
+    assert not [
+        f for f in os.listdir(part) if f.endswith(".parquet")
+    ], "default append dropped a flat file into a partitioned root"
+    got = {r.pk for r in sinks.read_ledger(spark, part).collect()}
+    assert got == {"a", "b"}
+
+    flat = str(tmp_path / "flat")
+    sinks.append_ledger(first, flat)  # fresh path: default stays flat
+    sinks.append_ledger(more, flat)
+    assert not [
+        d for d in os.listdir(flat) if d.startswith("expiryDay=")
+    ]
+    assert {r.pk for r in sinks.read_ledger(spark, flat).collect()} == {"a", "b"}
+
+
+def test_compact_ledger_partitioned_counts_only_verified_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: (a) a failed rmtree must not contribute its rows to the
+    returned dropped count (they'd be double-counted next run); (b) a
+    crash-leftover EMPTY expiryDay= dir must not break the next run's read
+    (explicit schema, no inference over empty dirs)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), t0 - 3 * day),
+            ("a2", dt.datetime(2024, 1, 1), t0 - 3 * day),
+            ("b", dt.datetime(2024, 1, 2), t0 - 2 * day),
+            ("c", dt.datetime(2024, 1, 3), t0 + 3 * day),
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+    blocked = os.path.join(path, "expiryDay=2024-01-07")
+    assert os.path.isdir(blocked)
+
+    real_rmtree = shutil.rmtree
+
+    def failing_rmtree(p, *a, **k):
+        if str(p) == blocked:
+            raise OSError("injected delete failure")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", failing_rmtree)
+    # 2024-01-07 (a, a2) delete fails -> only 2024-01-08 (b) counts
+    assert sinks.compact_ledger(spark, path, now_epoch=t0) == 1
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    # retry drops the previously-failed dir, counting it exactly once
+    assert sinks.compact_ledger(spark, path, now_epoch=t0) == 2
+
+    # crash-leftover EMPTY partition dir: next run must not choke on it
+    os.makedirs(os.path.join(path, "expiryDay=2024-01-05"))
+    assert sinks.compact_ledger(spark, path, now_epoch=t0) == 0
+    assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"c"}
+
+
+def test_read_ledger_tolerates_concurrent_partition_drop(spark, tmp_path):
+    """ADVICE r12: a gate scan holds no lock, so compact_ledger's partition
+    drops can delete files between this reader's listing and its tasks.
+    The partitioned read sets ignoreMissingFiles — semantically exact,
+    because compaction only removes fully-expired days the row-level TTL
+    filter would drop anyway."""
+    import datetime as dt
+    import shutil
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), t0 - 3 * day),
+            ("c", dt.datetime(2024, 1, 3), t0 + 3 * day),
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+
+    led = sinks.read_ledger(spark, path, now_epoch=t0)  # listing happens here
+    # concurrent compaction drops the expired day before the scan runs
+    shutil.rmtree(str(tmp_path / "ledger" / "expiryDay=2024-01-07"))
+    assert {r.pk for r in led.collect()} == {"c"}
+    # an unpruned read (no now_epoch) survives too: the vanished rows are
+    # exactly the ones every gate's TTL filter would discard
+    led_all = sinks.read_ledger(spark, path)
+    assert {r.pk for r in led_all.collect()} == {"c"}
+
+
+def test_rewrite_ledger_atomic_preserves_partitioned_layout(spark, tmp_path):
+    """Directive r12-3: the locked rewrite on an expiry-partitioned ledger
+    must keep the layout (expiryDay= dirs re-derived from expiresAt), so
+    retag/release reclaims never silently flatten the production layout;
+    transforms stay layout-agnostic (they see no expiryDay column)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.dedup import (
+        rewrite_ledger_atomic,
+    )
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1), t0 - 3 * day),
+            ("c", dt.datetime(2024, 1, 3), t0 + 3 * day),
+            ("d", dt.datetime(2024, 1, 4), t0 + 5 * day),
+        ],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+    before = sorted(d for d in os.listdir(path) if d.startswith("expiryDay="))
+
+    seen_cols = {}
+
+    def drop_a(df):
+        seen_cols["cols"] = df.columns
+        return df.filter(F.col("pk") != "a")
+
+    rewrite_ledger_atomic(spark, path, drop_a)
+    assert "expiryDay" not in seen_cols["cols"]  # transform is layout-blind
+    after = sorted(d for d in os.listdir(path) if d.startswith("expiryDay="))
+    assert after == [d for d in before if d != "expiryDay=2024-01-07"]
+    got = {r.pk for r in sinks.read_ledger(spark, path).collect()}
+    assert got == {"c", "d"}
+    # pruning still plans as a partition filter on the rewritten ledger
+    plan = (
+        sinks.read_ledger(spark, path, now_epoch=t0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_push_rows_rest_chunking(spark):
     """K1 REST push shape: ≤ max rows per POST, all rows delivered."""
     df = spark.createDataFrame([(i,) for i in range(25)], "id long").coalesce(2)

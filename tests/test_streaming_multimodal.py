@@ -913,7 +913,9 @@ def test_batch_streaming_drift_parity(spark, tmp_path):
 # Orphaned-claims reclaim job (the ledger sink's one loss window, closed)
 # --------------------------------------------------------------------------- #
 
-def _build_orphan_scenario(spark, tmp_path):
+def _build_orphan_scenario(
+    spark, tmp_path, n_orphans=1, partition_by_expiry=False
+):
     """Reproduce the documented loss window with a REAL mid-batch kill:
 
     1. instance 1 (ckpt1, generation g1) drains event 10 — batch 0 claims
@@ -947,6 +949,7 @@ def _build_orphan_scenario(spark, tmp_path):
         q = _pl.start_ledger_gated_fact_sink(
             fact, ledger, str(out), str(tmp_path / ckpt_name),
             available_now=True, now_epoch=now_epoch,
+            partition_by_expiry=partition_by_expiry,
         )
         if expect_fail:
             with pytest.raises(Exception):
@@ -962,9 +965,10 @@ def _build_orphan_scenario(spark, tmp_path):
         (tmp_path / "ckpt1" / "__spark_graft_generation").read_text().strip()
     )
 
-    # 2. batch 1 claims ALOWARE:1 then dies before writing output
+    # 2. batch 1 claims ALOWARE:1..n then dies before writing output
     with open(landing / "b.json", "w") as f:
-        f.write(_json.dumps(_envelope(1)) + "\n")
+        for i in range(1, n_orphans + 1):
+            f.write(_json.dumps(_envelope(i)) + "\n")
     real_proj = _pl.to_physical_rows
 
     def _boom(df):
@@ -1144,6 +1148,216 @@ def test_reclaim_quarantine_allow_partial_leaves_uncovered_claims(spark, tmp_pat
     assert [(r.EventID, r.reclaim_tag) for r in quarantined] == [
         ("ALOWARE:1", f"{s['g1']}-b1")
     ]
+
+
+def test_reclaim_quarantine_shortfall_preserves_partial_output(spark, tmp_path):
+    """ADVICE r12: in quarantine mode the partial-output GC is deferred
+    until the coverage gate passes — on a shortfall raise the orphans'
+    uncommitted output files are the LAST on-disk trace of the uncovered
+    events, so the raise must leave them intact (along with ledger and
+    quarantine dir). A later full-source run then reclaims normally and
+    GCs the partials."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    # fabricate the partial (no _SUCCESS) output the dead batch left behind
+    partial = os.path.join(s["out"], f"gen={s['g1']}", "batch_id=1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+    truncated = s["events"].filter(F.col("EventID") != "ALOWARE:1")
+
+    with pytest.raises(ValueError, match="quarantine shortfall"):
+        reclaim_orphaned_claims(
+            spark, s["ledger"], s["out"], [s["ckpt2"]],
+            mode="quarantine", events=truncated, quarantine_dir=qdir,
+        )
+    # the raise deleted NOTHING: partials intact, claim untouched
+    assert os.path.exists(os.path.join(partial, "part-00000.parquet"))
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"{s['g1']}-b1"
+
+    # full source: gate passes → partials GC'd, claim retagged
+    reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=s["events"], quarantine_dir=qdir,
+    )
+    assert not os.path.exists(partial)
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"reclaimed:{s['g1']}-b1"
+
+
+def test_reclaim_quarantine_allow_partial_rerun_merges(spark, tmp_path):
+    """ADVICE r12 (medium): a tag covered INCREMENTALLY across allow_partial
+    runs must accumulate quarantine records, not clobber them. Run 1's
+    source covers only ALOWARE:1 (retagged + quarantined); run 2's source
+    covers only ALOWARE:2 — the tag is re-identified (2 kept its dead tag)
+    and the partition overwrite must carry run 1's row forward."""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path, n_orphans=2)
+    qdir = str(tmp_path / "quarantine")
+    tag = f"{s['g1']}-b1"
+
+    only1 = s["events"].filter(F.col("EventID") == "ALOWARE:1")
+    got = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=only1, quarantine_dir=qdir,
+        allow_partial=True,
+    )
+    assert [r.pk for r in got.collect()] == ["ALOWARE:1"]
+    assert [
+        (r.EventID, r.reclaim_tag)
+        for r in spark.read.parquet(qdir).collect()
+    ] == [("ALOWARE:1", tag)]
+
+    # run 2: a DIFFERENT slice of the source — covers only the remaining
+    # orphan; run 1's triage record must survive the partition overwrite
+    only2 = s["events"].filter(F.col("EventID") == "ALOWARE:2")
+    got = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=only2, quarantine_dir=qdir,
+        allow_partial=True,
+    )
+    assert [r.pk for r in got.collect()] == ["ALOWARE:2"]
+    quarantined = sorted(
+        (r.EventID, r.reclaim_tag) for r in spark.read.parquet(qdir).collect()
+    )
+    assert quarantined == [("ALOWARE:1", tag), ("ALOWARE:2", tag)]
+    led = {r.pk: r.writer_id for r in spark.read.parquet(s["ledger"]).collect()}
+    assert led["ALOWARE:1"] == f"reclaimed:{tag}"
+    assert led["ALOWARE:2"] == f"reclaimed:{tag}"
+
+
+def test_partitioned_streaming_ledger_gate_parity_and_layout(spark, tmp_path):
+    """Directive r12-3: the streaming claim sink on an expiry-PARTITIONED
+    ledger — same emitted output as the flat run (gate parity), the ledger
+    keeps its expiryDay= layout across claim appends, duplicates stay
+    gated across restarts, and the per-batch gate scan partition-prunes."""
+    import json as _json
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming import pipeline as _pl
+
+    import datetime as _dt
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now_epoch = int(_dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp())
+    with open(landing / "a.json", "w") as f:
+        f.write(_json.dumps(_envelope(1)) + "\n")
+        f.write(_json.dumps(_envelope(2)) + "\n")
+
+    outs = {}
+    for layout, flag in (("flat", False), ("part", True)):
+        out = str(tmp_path / f"fact_{layout}")
+        ledger = str(tmp_path / f"ledger_{layout}")
+
+        def run(ckpt):
+            stream = _pl.read_envelope_stream(spark, str(landing))
+            fact = normalize_webhooks(_pl.envelopes_to_webhook_shape(stream))
+            q = _pl.start_ledger_gated_fact_sink(
+                fact, ledger, out, str(tmp_path / f"{ckpt}_{layout}"),
+                available_now=True, now_epoch=now_epoch,
+                partition_by_expiry=flag,
+            )
+            q.awaitTermination(180)
+
+        run("ckpt1")
+        # duplicate replay from a fresh checkpoint: the external ledger
+        # (not stream state) must gate both events out
+        run("ckpt2")
+        outs[layout] = sorted(
+            r.EventID for r in spark.read.parquet(out).collect()
+        )
+        part_dirs = [
+            d for d in os.listdir(ledger) if d.startswith("expiryDay=")
+        ]
+        if flag:
+            assert part_dirs, "partitioned sink lost its layout"
+            # claims expire ttl_days after now_epoch — UTC day 2024-02-03
+            assert part_dirs == ["expiryDay=2024-02-03"]
+        else:
+            assert not part_dirs
+
+    assert outs["flat"] == outs["part"] == ["ALOWARE:1", "ALOWARE:2"]
+
+
+def test_reclaim_on_partitioned_streaming_ledger(spark, tmp_path):
+    """The reclaim job on a partitioned streaming ledger: quarantine mode
+    retags through the layout-preserving rewrite (expiryDay= dirs survive),
+    the retagged claim still gates, and an injected crash at the rewrite is
+    recoverable with the layout intact."""
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path, partition_by_expiry=True)
+    qdir = str(tmp_path / "quarantine")
+    assert any(
+        d.startswith("expiryDay=") for d in os.listdir(s["ledger"])
+    ), "scenario ledger is not partitioned"
+
+    # crash INSIDE the rewrite (after scratch write, before the swap):
+    # recovery must restore a readable, still-partitioned ledger
+    real_rename = os.rename
+
+    def _boom(src, dst):
+        if src.endswith(".reclaim-new"):
+            raise RuntimeError("injected crash mid-swap")
+        return real_rename(src, dst)
+
+    os.rename = _boom
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            reclaim_orphaned_claims(
+                spark, s["ledger"], s["out"], [s["ckpt2"]],
+                mode="quarantine", events=s["events"], quarantine_dir=qdir,
+            )
+    finally:
+        os.rename = real_rename
+
+    # The crash hit the SECOND rename: scratch was fully written and the
+    # quarantine row committed, so recovery (finish_interrupted_ledger_swap
+    # at the rerun's entry) COMPLETES the swap — the retag is durable and
+    # the rerun correctly finds nothing left to reclaim. Crash-safe means
+    # exactly-once, not re-run-visible.
+    got = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=s["events"], quarantine_dir=qdir,
+    )
+    assert got.count() == 0
+    assert [
+        (r.EventID, r.reclaim_tag) for r in spark.read.parquet(qdir).collect()
+    ] == [("ALOWARE:1", f"{s['g1']}-b1")]
+    assert any(d.startswith("expiryDay=") for d in os.listdir(s["ledger"]))
+    assert not os.path.exists(s["ledger"] + ".reclaim-new")
+    assert not os.path.exists(s["ledger"] + ".reclaim-old")
+    led = {
+        r.pk: r.writer_id
+        for r in spark.read.parquet(s["ledger"]).drop("expiryDay").collect()
+    }
+    assert led["ALOWARE:1"] == f"reclaimed:{s['g1']}-b1"
+    # the retagged claim still gates: a fresh replay emits nothing new
+    s["run_instance"]("ckpt3")
+    emitted = sorted(r.EventID for r in spark.read.parquet(s["out"]).collect())
+    assert emitted == ["ALOWARE:10"]
 
 
 def test_reclaim_gc_runs_before_ledger_rewrite(spark, tmp_path):
