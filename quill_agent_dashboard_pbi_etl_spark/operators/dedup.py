@@ -375,6 +375,40 @@ def _bloom_maybe_exploded(
     return with_id.join(flags, on="__brow", how="left").drop("__brow")
 
 
+def anti_join_small_left(
+    left: DataFrame, right: DataFrame, key_col: str
+) -> DataFrame:
+    """``left LEFT ANTI right`` for a SMALL left and a LARGE right, as two
+    broadcast map-side joins: broadcast the left's keys to semi-join the
+    big side down to the matching keys (≤ |left| rows by construction),
+    then anti-join the left against that tiny set — zero shuffle of the
+    big side, zero big hash build.
+
+    Why this exists: Spark can only build the RIGHT side of a left-anti
+    join, so a 12.5k-event micro-batch gating against a 10.7M-key live
+    ledger either sort-merge-shuffles all 10.7M rows (estimate above the
+    broadcast threshold) or — worse — builds a 10.7M-key broadcast hash
+    per trigger when partition pruning drops the estimate just UNDER the
+    threshold (measured in the r13 streaming layout A/B: the pruned
+    ledger's honest 55 MB estimate flipped the gate to BroadcastHashJoin
+    BuildRight and ran 6.6 s/batch vs 0.9 s flat — better stats, worse
+    plan). Both broadcasts here are bounded by the SMALL side; the big
+    side is scanned once, map-side, and never shuffled. Identical result
+    to the plain anti-join: ``left ∖ (right ⋉ left) = left ∖ right``
+    (null keys match nothing in either shape).
+
+    Use when the left is provably small (e.g. under the session broadcast
+    threshold); the plain anti-join remains right for large-left regimes.
+    """
+    keys = left.select(key_col).dropDuplicates([key_col])
+    dup_keys = (
+        right.join(F.broadcast(keys), key_col, "left_semi")
+        .select(key_col)
+        .dropDuplicates([key_col])  # bounds the second broadcast by |keys|
+    )
+    return left.join(F.broadcast(dup_keys), key_col, "left_anti")
+
+
 def probe_volume_estimate(df: DataFrame) -> int | None:
     """Driver-side, job-free estimate of a DataFrame's input volume in
     bytes, from Catalyst's optimized-plan statistics (file-relation sizes
@@ -643,8 +677,12 @@ def rewrite_ledger_atomic(spark, ledger_path: str, transform, schema=None):
         rewritten = transform(current)
         new, old = ledger_path + ".reclaim-new", ledger_path + ".reclaim-old"
         if partitioned:
+            # One file per expiry day (same small-files hygiene as
+            # sinks.append_ledger — a rewrite is also the natural point
+            # where a day's accumulated per-append files re-compact).
             (
                 rewritten.withColumn("expiryDay", expiry_day_col())
+                .repartition(F.col("expiryDay"))
                 .write.mode("overwrite")
                 .partitionBy("expiryDay")
                 .parquet(new)

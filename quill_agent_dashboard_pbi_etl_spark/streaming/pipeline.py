@@ -342,6 +342,7 @@ def start_ledger_gated_fact_sink(
 
     from ..operators.dedup import (
         LedgerLock,
+        anti_join_small_left,
         keep_first,
         ledger_gate_bloom,
         probe_volume_estimate,
@@ -445,7 +446,37 @@ def start_ledger_gated_fact_sink(
                     live=live,
                 )
             else:
-                new_events = unique.join(live, "EventID", "left_anti")
+                # Exact gate. When the deduped batch is provably SMALL
+                # (Catalyst estimate under the session broadcast threshold)
+                # and the live ledger is the larger side, run the anti-join
+                # as two small-side broadcasts (anti_join_small_left): the
+                # live ledger is scanned once map-side — never shuffled,
+                # never hash-built. The plain anti-join either sort-merge-
+                # shuffles every live key per trigger, or (worse) builds a
+                # multi-million-key broadcast hash per trigger when the
+                # partitioned layout's pruned scan estimate lands just
+                # UNDER the threshold — the r13 layout A/B measured that
+                # flip at 6.6 s/batch vs 0.9 s (SCALE_LADDER.json
+                # streaming_ledger_layout). Estimates are driver-side plan
+                # stats (no job); when either is unavailable, or the batch
+                # is big, the plain anti-join stands.
+                ev_est = probe_volume_estimate(unique)
+                live_est = probe_volume_estimate(live)
+                small_batch = (
+                    ev_est is not None
+                    and live_est is not None
+                    and ev_est
+                    <= _parse_spark_bytes(
+                        spark.conf.get(
+                            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                        )
+                    )
+                    and live_est > ev_est
+                )
+                if small_batch:
+                    new_events = anti_join_small_left(unique, live, "EventID")
+                else:
+                    new_events = unique.join(live, "EventID", "left_anti")
             # pin: the claim set is consumed twice (emptiness check + the
             # append) — materialize the micro-batch-sized result once
             # instead of running the ledger anti-join twice under the lock.

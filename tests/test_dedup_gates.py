@@ -688,3 +688,40 @@ def test_bloom_probe_is_single_binary_literal_not_row_data(spark):
         "bitmap must not appear as a quoted STRING literal (char-indexed "
         "substring is O(bitmap) per probe)"
     )
+
+
+def test_anti_join_small_left_parity_and_plan(spark):
+    """anti_join_small_left == plain left-anti on every overlap shape
+    (incl. null keys and duplicate right keys), and its plan never
+    sort-merge-shuffles or hash-builds the BIG side: both joins are
+    BroadcastHashJoin with small-side builds."""
+    left = spark.createDataFrame(
+        [("a",), ("b",), ("x",), (None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",), ("a",), ("c",), ("d",), (None,)], "k string"
+    )
+    plain = {r.k for r in left.join(right, "k", "left_anti").collect()}
+    inverted = {
+        r.k for r in dedup.anti_join_small_left(left, right, "k").collect()
+    }
+    # null keys match nothing in an anti-join -> kept in both shapes
+    assert inverted == plain == {"b", "x", None}
+
+    big = spark.range(200_000).select(
+        F.concat(F.lit("pk-"), F.col("id")).alias("k")
+    )
+    small = spark.createDataFrame(
+        [("pk-5",), ("pk-99999",), ("novel-1",)], "k string"
+    )
+    out = dedup.anti_join_small_left(small, big, "k")
+    assert {r.k for r in out.collect()} == {"novel-1"}
+    # AQE prints Final + Initial plan sections; judge the final one
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2

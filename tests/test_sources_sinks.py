@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from quill_agent_dashboard_pbi_etl_spark import sinks
 from quill_agent_dashboard_pbi_etl_spark.sources.readers import (
     load_roster_snapshot,
@@ -411,6 +413,45 @@ def test_compact_ledger_partitioned_counts_only_verified_deletes(
     os.makedirs(os.path.join(path, "expiryDay=2024-01-05"))
     assert sinks.compact_ledger(spark, path, now_epoch=t0) == 0
     assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"c"}
+
+
+def test_append_ledger_partitioned_writes_one_file_per_day(spark, tmp_path):
+    """Small-files hygiene: one append = one parquet file per expiry day,
+    however many shuffle partitions the entries arrive in. Without the
+    day-key repartition each append fans out into (shuffle partitions ×
+    days) files and every later gate scan pays per-file open cost for all
+    of them — measured 2.9× slower on the 20M-key streaming drain
+    (SCALE_LADDER.json streaming_ledger_layout, pre-fix cell)."""
+    import datetime as dt
+    import os
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.range(2000).select(
+        F.concat(F.lit("pk-"), F.col("id")).alias("pk"),
+        F.lit(dt.datetime(2024, 1, 1)).alias("seenAt"),
+        (F.lit(t0) + (F.col("id") % 3) * day).alias("expiresAt"),
+    ).repartition(16)  # deliberately many input partitions
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+    day_dirs = [d for d in os.listdir(path) if d.startswith("expiryDay=")]
+    assert len(day_dirs) == 3
+    for d in day_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    # a second append adds exactly one more file per touched day
+    sinks.append_ledger(entries, path)  # auto-detects the layout
+    for d in day_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 2, (d, files)
 
 
 def test_read_ledger_tolerates_concurrent_partition_drop(spark, tmp_path):
