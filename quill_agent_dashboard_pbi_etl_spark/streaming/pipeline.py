@@ -446,34 +446,40 @@ def start_ledger_gated_fact_sink(
                     live=live,
                 )
             else:
-                # Exact gate. When the deduped batch is provably SMALL
-                # (Catalyst estimate under the session broadcast threshold)
-                # and the live ledger is the larger side, run the anti-join
-                # as two small-side broadcasts (anti_join_small_left): the
-                # live ledger is scanned once map-side — never shuffled,
-                # never hash-built. The plain anti-join either sort-merge-
-                # shuffles every live key per trigger, or (worse) builds a
-                # multi-million-key broadcast hash per trigger when the
-                # partitioned layout's pruned scan estimate lands just
-                # UNDER the threshold — the r13 layout A/B measured that
-                # flip at 6.6 s/batch vs 0.9 s (SCALE_LADDER.json
-                # streaming_ledger_layout). Estimates are driver-side plan
-                # stats (no job); when either is unavailable, or the batch
-                # is big, the plain anti-join stands.
+                # Exact gate. Detect the BROADCAST-FLIP pathology: Spark
+                # can only build the RIGHT side of a left-anti join, so
+                # when the live ledger's estimate lands UNDER the broadcast
+                # threshold while being the LARGER side, the planner
+                # hash-builds millions of live keys per trigger — measured
+                # 6.6 s/batch vs 0.9 s when the partitioned layout's
+                # pruned (honest) estimate triggered exactly that
+                # (SCALE_LADDER.json streaming_ledger_layout). In that
+                # regime — and ONLY that regime — gate through
+                # anti_join_small_left: broadcast the batch's keys,
+                # semi-join the ledger down map-side, anti-join against
+                # the tiny result; the ledger is never shuffled or
+                # hash-built. Outside the flip regime the plain anti-join
+                # stands: against a healthy sort-merge join the inverted
+                # shape measured 0.78× at a 100M-key flat ledger
+                # (SCALE_LADDER.json small_batch_gate) — its extra
+                # map-side pass costs more than the one-box shuffle it
+                # avoids. Estimates are driver-side plan stats (no job);
+                # when either is unavailable the plain shape stands.
                 ev_est = probe_volume_estimate(unique)
                 live_est = probe_volume_estimate(live)
-                small_batch = (
+                thresh = _parse_spark_bytes(
+                    spark.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold", "10MB"
+                    )
+                )
+                flip_regime = (
                     ev_est is not None
                     and live_est is not None
-                    and ev_est
-                    <= _parse_spark_bytes(
-                        spark.conf.get(
-                            "spark.sql.autoBroadcastJoinThreshold", "10MB"
-                        )
-                    )
-                    and live_est > ev_est
+                    and live_est <= thresh  # planner WILL hash-build live
+                    and live_est > ev_est   # ...and it's the bigger side
+                    and ev_est <= thresh    # batch keys safely broadcastable
                 )
-                if small_batch:
+                if flip_regime:
                     new_events = anti_join_small_left(unique, live, "EventID")
                 else:
                     new_events = unique.join(live, "EventID", "left_anti")
