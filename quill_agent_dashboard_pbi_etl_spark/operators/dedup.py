@@ -387,18 +387,24 @@ def anti_join_small_left(
     Why this exists: Spark can only build the RIGHT side of a left-anti
     join, so a 12.5k-event micro-batch gating against a 10.7M-key live
     ledger either sort-merge-shuffles all 10.7M rows (estimate above the
-    broadcast threshold) or — worse — builds a 10.7M-key broadcast hash
-    per trigger when partition pruning drops the estimate just UNDER the
-    threshold (measured in the r13 streaming layout A/B: the pruned
-    ledger's honest 55 MB estimate flipped the gate to BroadcastHashJoin
-    BuildRight and ran 6.6 s/batch vs 0.9 s flat — better stats, worse
-    plan). Both broadcasts here are bounded by the SMALL side; the big
-    side is scanned once, map-side, and never shuffled. Identical result
-    to the plain anti-join: ``left ∖ (right ⋉ left) = left ∖ right``
-    (null keys match nothing in either shape).
+    broadcast threshold) or — worse — builds a fresh 10.7M-key broadcast
+    hash per trigger when partition pruning drops the estimate just UNDER
+    the threshold (the r13 streaming layout A/B: the pruned ledger's
+    honest 55 MB estimate flipped the gate to BroadcastHashJoin BuildRight
+    and cost ~5.7 s/trigger over an 8-batch drain — a long-lived streaming
+    JVM rebuilding and GC'ing the broadcast every trigger amplifies what a
+    clean one-shot JVM prices at ~0.3 s. Better stats, worse plan;
+    ``SCALE_LADDER.json streaming_ledger_layout`` + ``small_batch_gate``).
+    Both broadcasts here are bounded by the SMALL side; the big side is
+    scanned once, map-side, and never shuffled. Identical result to the
+    plain anti-join: ``left ∖ (right ⋉ left) = left ∖ right`` (null keys
+    match nothing in either shape).
 
-    Use when the left is provably small (e.g. under the session broadcast
-    threshold); the plain anti-join remains right for large-left regimes.
+    Use in the flip regime (the streaming sink auto-detects it from plan
+    stats) or on a cluster fabric where the avoided per-trigger shuffle
+    is network-priced; against a healthy one-box sort-merge join the
+    plain anti-join measured faster (0.78× inverted at 100M keys), so
+    this is not a blanket replacement.
     """
     keys = left.select(key_col).dropDuplicates([key_col])
     dup_keys = (

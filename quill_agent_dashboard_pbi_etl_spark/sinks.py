@@ -175,11 +175,14 @@ def append_ledger(
 
     The partitioned write repartitions by the day key first, so one append
     produces ONE file per expiry day instead of (shuffle partitions ×
-    days) — without it, a TTL-spread append fans out into hundreds of
-    small files and every later gate scan pays per-file open cost for all
-    of them (measured: the 20M-key streaming drain ran 2.9× SLOWER on a
-    multi-file-per-day partitioned ledger than flat —
-    ``SCALE_LADDER.json streaming_ledger_layout``). Parquet files split by
+    days) — total ledger file count stays equal to the number of appends,
+    the bound that matters for a TTL-window streaming ledger taking
+    thousands of per-trigger appends, and every reader's file-listing /
+    footer-open cost is bounded the same way. (This is hygiene, not the
+    fix for the r13 drain regression — that was a partition-pruning-
+    induced broadcast flip, see ``operators.dedup.anti_join_small_left``;
+    the r13 A/B measured the fan-out itself as NOT the drain's mechanism,
+    ``SCALE_LADDER.json streaming_ledger_layout``.) Parquet files split by
     row group, so a large single-day file still scans in parallel; for a
     truly huge single-day append, set ``spark.sql.files.maxRecordsPerFile``
     on the session."""

@@ -450,11 +450,15 @@ def start_ledger_gated_fact_sink(
                 # can only build the RIGHT side of a left-anti join, so
                 # when the live ledger's estimate lands UNDER the broadcast
                 # threshold while being the LARGER side, the planner
-                # hash-builds millions of live keys per trigger — measured
-                # 6.6 s/batch vs 0.9 s when the partitioned layout's
-                # pruned (honest) estimate triggered exactly that
-                # (SCALE_LADDER.json streaming_ledger_layout). In that
-                # regime — and ONLY that regime — gate through
+                # hash-builds millions of live keys per trigger. Measured:
+                # the partitioned layout's pruned (honest) estimate
+                # triggered exactly that and cost ~5.7 s/trigger over a
+                # 2x2-reproduced 8-batch drain — a long-lived streaming
+                # JVM rebuilding/GC'ing the broadcast every trigger
+                # amplifies what a clean one-shot JVM prices at ~0.3 s
+                # (SCALE_LADDER.json streaming_ledger_layout +
+                # small_batch_gate warm cells). In that regime — and ONLY
+                # that regime — gate through
                 # anti_join_small_left: broadcast the batch's keys,
                 # semi-join the ledger down map-side, anti-join against
                 # the tiny result; the ledger is never shuffled or
