@@ -415,6 +415,29 @@ def anti_join_small_left(
     return left.join(F.broadcast(dup_keys), key_col, "left_anti")
 
 
+def is_broadcast_flip_regime(
+    small_est: int | None, big_est: int | None, threshold: int
+) -> bool:
+    """True when a ``small LEFT ANTI big`` join sits in the BROADCAST-FLIP
+    regime: the planner will hash-build the BIG side because its estimate
+    lands under the broadcast threshold while still being the larger side
+    (left-anti can only build right), and the small side is itself safely
+    broadcastable. This is the regime where
+    :func:`anti_join_small_left` replaces a per-call multi-million-key
+    hash build with two small-side broadcasts; outside it the plain
+    anti-join measured faster on one box (``SCALE_LADDER.json
+    small_batch_gate``). ``None`` estimates (Catalyst couldn't size the
+    plan) are never the flip regime — the caller keeps the plain shape.
+    """
+    return (
+        small_est is not None
+        and big_est is not None
+        and big_est <= threshold  # planner WILL hash-build the big side
+        and big_est > small_est   # ...and it is the bigger side
+        and small_est <= threshold  # small side safely broadcastable
+    )
+
+
 def probe_volume_estimate(df: DataFrame) -> int | None:
     """Driver-side, job-free estimate of a DataFrame's input volume in
     bytes, from Catalyst's optimized-plan statistics (file-relation sizes

@@ -343,6 +343,7 @@ def start_ledger_gated_fact_sink(
     from ..operators.dedup import (
         LedgerLock,
         anti_join_small_left,
+        is_broadcast_flip_regime,
         keep_first,
         ledger_gate_bloom,
         probe_volume_estimate,
@@ -469,21 +470,16 @@ def start_ledger_gated_fact_sink(
                 # map-side pass costs more than the one-box shuffle it
                 # avoids. Estimates are driver-side plan stats (no job);
                 # when either is unavailable the plain shape stands.
-                ev_est = probe_volume_estimate(unique)
-                live_est = probe_volume_estimate(live)
                 thresh = _parse_spark_bytes(
                     spark.conf.get(
                         "spark.sql.autoBroadcastJoinThreshold", "10MB"
                     )
                 )
-                flip_regime = (
-                    ev_est is not None
-                    and live_est is not None
-                    and live_est <= thresh  # planner WILL hash-build live
-                    and live_est > ev_est   # ...and it's the bigger side
-                    and ev_est <= thresh    # batch keys safely broadcastable
-                )
-                if flip_regime:
+                if is_broadcast_flip_regime(
+                    probe_volume_estimate(unique),
+                    probe_volume_estimate(live),
+                    thresh,
+                ):
                     new_events = anti_join_small_left(unique, live, "EventID")
                 else:
                     new_events = unique.join(live, "EventID", "left_anti")

@@ -725,3 +725,21 @@ def test_anti_join_small_left_parity_and_plan(spark):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_is_broadcast_flip_regime_boundaries():
+    """The flip-regime predicate (when the streaming sink swaps the plain
+    anti-join for anti_join_small_left) fires exactly when the planner
+    would hash-build the BIG side of a left-anti join: big estimate under
+    the threshold but above the small estimate, small side broadcastable.
+    Unknown estimates are never the flip regime."""
+    T = 64 << 20
+    flip = dedup.is_broadcast_flip_regime
+    assert flip(1 << 20, 55 << 20, T)           # the measured r13 case
+    assert not flip(1 << 20, 80 << 20, T)       # big above threshold -> SMJ
+    assert not flip(55 << 20, 1 << 20, T)       # big side SMALLER: planner
+    assert not flip(T, T, T) is True or not flip(T, T, T)  # equal: not flip
+    assert not flip(None, 55 << 20, T)          # unsized small
+    assert not flip(1 << 20, None, T)           # unsized big
+    assert flip(T, T + 1 - 1, T) is False       # big == small == threshold
+    assert flip(T - 1, T, T)                    # boundary: big at threshold
