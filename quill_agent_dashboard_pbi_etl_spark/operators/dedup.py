@@ -416,7 +416,7 @@ def anti_join_small_left(
 
 
 def is_broadcast_flip_regime(
-    small_est: int | None, big_est: int | None, threshold: int
+    small_est: int | None, big_est: int | None, threshold: int | None
 ) -> bool:
     """True when a ``small LEFT ANTI big`` join sits in the BROADCAST-FLIP
     regime: the planner will hash-build the BIG side because its estimate
@@ -427,11 +427,14 @@ def is_broadcast_flip_regime(
     hash build with two small-side broadcasts; outside it the plain
     anti-join measured faster on one box (``SCALE_LADDER.json
     small_batch_gate``). ``None`` estimates (Catalyst couldn't size the
-    plan) are never the flip regime — the caller keeps the plain shape.
+    plan) and a ``None`` threshold (an unparsable conf value — e.g. a
+    suffix ``_parse_spark_bytes`` doesn't know) are never the flip regime
+    — the caller keeps the plain shape.
     """
     return (
         small_est is not None
         and big_est is not None
+        and threshold is not None
         and big_est <= threshold  # planner WILL hash-build the big side
         and big_est > small_est   # ...and it is the bigger side
         and small_est <= threshold  # small side safely broadcastable

@@ -153,6 +153,19 @@ def ledger_is_partitioned(path: str) -> bool:
     return any(d.startswith("expiryDay=") for d in os.listdir(path))
 
 
+def ledger_layout(path: str) -> bool | None:
+    """The existing layout at ``path``: True = expiry-partitioned, False =
+    flat (root-level parquet files present), None = fresh/empty (no layout
+    established yet)."""
+    if ledger_is_partitioned(path):
+        return True
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return False
+    return None
+
+
 def append_ledger(
     entries: DataFrame, path: str, partition_by_expiry: bool | None = None
 ) -> None:
@@ -185,9 +198,27 @@ def append_ledger(
     ``SCALE_LADDER.json streaming_ledger_layout``.) Parquet files split by
     row group, so a large single-day file still scans in parallel; for a
     truly huge single-day append, set ``spark.sql.files.maxRecordsPerFile``
-    on the session."""
+    on the session.
+
+    An EXPLICIT ``partition_by_expiry`` that contradicts an existing
+    layout raises ``ValueError`` instead of writing: Spark reads a mixed
+    root by SILENTLY DROPPING the flat rows (verified empirically — 3
+    written, 2 read, no error), so a mis-flagged append would make every
+    pre-existing claim invisible to the gate and re-admit its duplicates.
+    Loud beats silent here; pass ``None`` to follow the existing layout."""
+    existing = ledger_layout(path)
     if partition_by_expiry is None:
-        partition_by_expiry = ledger_is_partitioned(path)
+        partition_by_expiry = bool(existing)
+    elif existing is not None and existing != partition_by_expiry:
+        want = "expiry-partitioned" if partition_by_expiry else "flat"
+        have = "expiry-partitioned" if existing else "flat"
+        raise ValueError(
+            f"append_ledger(partition_by_expiry={partition_by_expiry}) "
+            f"requests the {want} layout but {path!r} already holds a "
+            f"{have} ledger — a mixed root silently hides the flat rows "
+            f"from every reader. Pass partition_by_expiry=None to follow "
+            f"the existing layout, or migrate via rewrite_ledger_atomic."
+        )
     if partition_by_expiry:
         (
             entries.withColumn("expiryDay", expiry_day_col())
@@ -284,18 +315,7 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
     if now_epoch is None:
         now_epoch = int(_time.time())
 
-    part_dirs = [
-        d
-        for d in (_os.listdir(path) if _os.path.isdir(path) else [])
-        if d.startswith("expiryDay=")
-    ]
-    if part_dirs:
-        cutoff_day = utc_day_of(now_epoch)
-        expired = sorted(
-            d for d in part_dirs if d.removeprefix("expiryDay=") < cutoff_day
-        )
-        if not expired:
-            return 0
+    if ledger_is_partitioned(path):
         # Per-directory count-then-delete, and a directory's rows join the
         # returned total only AFTER its delete verifiably completed — a
         # failed/partial rmtree must not inflate the count (the leftover
@@ -305,13 +325,29 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
         # would fail schema inference on the next run when the empty dirs
         # are the only expired ones. Each count is a footer-only metadata
         # job over one TTL-day directory — operations-scale, never
-        # ledger-scale.
+        # ledger-scale. The directory LISTING happens under the lock: a
+        # concurrent locked rewrite (orphan reclaim) could otherwise drop
+        # a listed day between the listing and our lock acquisition. A
+        # dir that still vanishes out from under the count (crash debris)
+        # contributes nothing and is skipped, not fatal.
         base_schema = "pk string, seenAt timestamp, expiresAt long"
+        cutoff_day = utc_day_of(now_epoch)
         n = 0
         with LedgerLock(path):
+            expired = sorted(
+                d
+                for d in _os.listdir(path)
+                if d.startswith("expiryDay=")
+                and d.removeprefix("expiryDay=") < cutoff_day
+            )
             for d in expired:
                 full = _os.path.join(path, d)
-                n_dir = spark.read.schema(base_schema).parquet(full).count()
+                try:
+                    n_dir = (
+                        spark.read.schema(base_schema).parquet(full).count()
+                    )
+                except Exception:
+                    continue  # dir vanished: nothing left to count or drop
                 try:
                     _shutil.rmtree(full)
                 except OSError:

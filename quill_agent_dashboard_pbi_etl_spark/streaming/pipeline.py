@@ -246,9 +246,12 @@ def start_ledger_gated_fact_sink(
     batch's claims share ``expiresAt = now + ttl``). Claims, tags, crash
     recovery, and the reclaim job are layout-independent: the rewrite path
     (``rewrite_ledger_atomic``) preserves the partitioning by re-deriving
-    ``expiryDay`` from ``expiresAt``. On an existing ledger the appends
-    auto-match its layout either way, so flipping this flag mid-life never
-    mixes layouts under one root.
+    ``expiryDay`` from ``expiresAt``. A flag that contradicts an EXISTING
+    ledger's layout fails loudly at the first claim append
+    (``sinks.append_ledger`` raises) rather than mixing layouts under one
+    root — Spark reads a mixed root by silently dropping the flat rows,
+    which would hide every prior claim from the gate and re-admit its
+    duplicates.
 
     Why this exists alongside ``dropDuplicatesWithinWatermark``: the state-
     store dedup horizon lives INSIDE the streaming checkpoint — rebuild the
@@ -518,10 +521,17 @@ def start_ledger_gated_fact_sink(
                 )
         # Verify outside the lock: survivors = the keys THIS tag owns in the
         # durable ledger — replay-stable even if we crashed mid-cycle above.
-        claimed_src = (
-            spark.read.schema(sink_ledger_schema)
-            .option("ignoreMissingFiles", "true")
-            .parquet(ledger_path)
+        # Deliberately NO ignoreMissingFiles here: a concurrent locked
+        # rewrite (reclaim / flat compaction rename-swap) racing this
+        # unlocked read must FAIL the batch — the retry replays cleanly —
+        # never read an empty ledger and commit an empty output WITH
+        # _SUCCESS while the claims stand (that would suppress the events
+        # forever). Partitioned compaction can't race this read into
+        # missing files either way: it only drops days strictly before
+        # today, and this read prunes to the claim-expiry day (~ttl_days
+        # in the future).
+        claimed_src = spark.read.schema(sink_ledger_schema).parquet(
+            ledger_path
         )
         if "expiryDay" in claimed_src.columns:
             # Every claim this batch made shares expiresAt = now + ttl, so
@@ -951,7 +961,17 @@ def reclaim_orphaned_claims(
     with LedgerLock(ledger_path):
         finish_interrupted_ledger_swap(ledger_path)
     try:
-        ledger = spark.read.schema(ledger_schema).parquet(ledger_path)
+        from ..sinks import ledger_is_partitioned
+
+        reader = spark.read.schema(ledger_schema)
+        if ledger_is_partitioned(ledger_path):
+            # This unlocked read races compact_ledger's locked partition
+            # drops; a vanished expiryDay= dir held only fully-expired
+            # claims, which no longer gate anything (their events re-admit
+            # on replay), so skipping its files is semantically exact —
+            # the same argument as sinks.read_ledger.
+            reader = reader.option("ignoreMissingFiles", "true")
+        ledger = reader.parquet(ledger_path)
     except Exception:  # no ledger yet — nothing to reclaim
         return spark.createDataFrame([], ledger_schema)
     if "expiryDay" in ledger.columns:  # expiry-partitioned layout
@@ -983,7 +1003,7 @@ def reclaim_orphaned_claims(
         ledger.filter(F.col("writer_id").isin(orphan_tags)), required=True
     )
 
-    def _gc_partial_output() -> None:
+    def _gc_partial_output(tags) -> None:
         # GC the orphans' uncommitted partial output (no _SUCCESS by
         # definition) so raw readers of output_dir never see half a batch.
         # This runs BEFORE the ledger rewrite: deleting partial files never
@@ -992,7 +1012,7 @@ def reclaim_orphaned_claims(
         # the next run. The reverse order (rewrite first) would leak the
         # partial files permanently: once the tags are dropped/retagged,
         # nothing re-derives the GC list.
-        for tag in orphan_tags:
+        for tag in tags:
             g, _, bid = tag.partition("-b")
             out_storage.delete_tree(
                 f"{output_dir.rstrip('/')}/gen={g}/batch_id={bid}"
@@ -1000,7 +1020,7 @@ def reclaim_orphaned_claims(
 
     covered = None
     if mode == "release":
-        _gc_partial_output()
+        _gc_partial_output(orphan_tags)
     else:
         # Idempotent re-emission: per-tag dynamic-partition overwrite, so a
         # crash-rerun rewrites the same partitions instead of appending.
@@ -1049,7 +1069,20 @@ def reclaim_orphaned_claims(
                 f"(sample pks: {sample})",
                 stacklevel=2,
             )
-        _gc_partial_output()
+        # GC only the tags whose every claim is covered this run: a tag
+        # with uncovered claims keeps its partial output — it is the last
+        # on-disk trace of those events and they are still advertised as
+        # reclaimable by a later fuller-source run (deleting it here would
+        # contradict the shortfall contract above). The distinct-tag
+        # collect is operations-scale (dead tags), never data-scale.
+        if n_uncovered:
+            uncovered_tags = {
+                r.writer_id
+                for r in uncovered.select("writer_id").distinct().collect()
+            }
+            _gc_partial_output([t for t in orphan_tags if t not in uncovered_tags])
+        else:
+            _gc_partial_output(orphan_tags)
         # A tag can be quarantined INCREMENTALLY across runs (allow_partial
         # run 1 covers some pks; a later run with a fuller source covers
         # more — the uncovered rows kept their dead tag, so the tag is

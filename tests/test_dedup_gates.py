@@ -741,5 +741,7 @@ def test_is_broadcast_flip_regime_boundaries():
     assert not flip(T, T, T) is True or not flip(T, T, T)  # equal: not flip
     assert not flip(None, 55 << 20, T)          # unsized small
     assert not flip(1 << 20, None, T)           # unsized big
+    assert not flip(1 << 20, 55 << 20, None)    # unparsable threshold conf
+    assert not flip(1 << 20, 55 << 20, -1)      # broadcast disabled (-1)
     assert flip(T, T + 1 - 1, T) is False       # big == small == threshold
     assert flip(T - 1, T, T)                    # boundary: big at threshold

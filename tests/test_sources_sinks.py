@@ -367,6 +367,19 @@ def test_append_ledger_auto_matches_existing_layout(spark, tmp_path):
     ]
     assert {r.pk for r in sinks.read_ledger(spark, flat).collect()} == {"a", "b"}
 
+    # An EXPLICIT flag contradicting the existing layout must raise, both
+    # directions — Spark reads a mixed root by silently dropping the flat
+    # rows, which would hide prior claims from every gate.
+    import pytest
+
+    with pytest.raises(ValueError, match="already holds a flat ledger"):
+        sinks.append_ledger(more, flat, partition_by_expiry=True)
+    with pytest.raises(ValueError, match="already holds a expiry-partitioned"):
+        sinks.append_ledger(more, part, partition_by_expiry=False)
+    # nothing was written by the refused appends
+    assert {r.pk for r in sinks.read_ledger(spark, flat).collect()} == {"a", "b"}
+    assert {r.pk for r in sinks.read_ledger(spark, part).collect()} == {"a", "b"}
+
 
 def test_compact_ledger_partitioned_counts_only_verified_deletes(
     spark, tmp_path, monkeypatch

@@ -1240,6 +1240,52 @@ def test_reclaim_quarantine_allow_partial_rerun_merges(spark, tmp_path):
     assert led["ALOWARE:2"] == f"reclaimed:{tag}"
 
 
+def test_reclaim_allow_partial_keeps_uncovered_tags_partial_output(
+    spark, tmp_path
+):
+    """A tag that still has UNCOVERED claims after an allow_partial run
+    must keep its partial output — it is the last on-disk trace of the
+    uncovered events, which the shortfall contract advertises as
+    reclaimable by a later fuller-source run. Only a fully-covered tag's
+    partials are GC'd."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.streaming.pipeline import (
+        reclaim_orphaned_claims,
+    )
+
+    s = _build_orphan_scenario(spark, tmp_path, n_orphans=2)
+    qdir = str(tmp_path / "quarantine")
+    partial = os.path.join(s["out"], f"gen={s['g1']}", "batch_id=1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+
+    # run 1 covers only ALOWARE:1 — the tag still has an uncovered claim
+    only1 = s["events"].filter(F.col("EventID") == "ALOWARE:1")
+    got = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=only1, quarantine_dir=qdir,
+        allow_partial=True,
+    )
+    assert [r.pk for r in got.collect()] == ["ALOWARE:1"]
+    assert os.path.exists(
+        os.path.join(partial, "part-00000.parquet")
+    ), "partial output of a not-fully-covered tag was GC'd"
+
+    # run 2 covers the remainder — now the tag is fully covered and GC'd
+    only2 = s["events"].filter(F.col("EventID") == "ALOWARE:2")
+    got = reclaim_orphaned_claims(
+        spark, s["ledger"], s["out"], [s["ckpt2"]],
+        mode="quarantine", events=only2, quarantine_dir=qdir,
+        allow_partial=True,
+    )
+    assert [r.pk for r in got.collect()] == ["ALOWARE:2"]
+    assert not os.path.exists(partial)
+
+
 def test_partitioned_streaming_ledger_gate_parity_and_layout(spark, tmp_path):
     """Directive r12-3: the streaming claim sink on an expiry-PARTITIONED
     ledger — same emitted output as the flat run (gate parity), the ledger
