@@ -68,7 +68,10 @@ def ledger_gate(
     live = ledger.filter(F.col("expiresAt") >= F.lit(now_epoch)).select(
         F.col("pk").alias(key_col)
     )
-    return events.join(live, on=key_col, how="left_anti")
+    # One join-shape selector for every gate (batch AND streaming): the
+    # broadcast-flip regime auto-inverts to anti_join_small_left, see
+    # gate_anti_join.
+    return gate_anti_join(events, live, key_col)
 
 
 def ledger_new_entries(
@@ -415,6 +418,54 @@ def anti_join_small_left(
     return left.join(F.broadcast(dup_keys), key_col, "left_anti")
 
 
+def parse_spark_bytes(value: str) -> int | None:
+    """Parse a Spark byte-size conf string ("10MB", "10485760b", "-1").
+    Returns None when unparseable."""
+    v = value.strip().lower()
+    try:
+        mult = 1
+        for suffix, m in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+            ("b", 1),
+        ):
+            if v.endswith(suffix):
+                v, mult = v[: -len(suffix)], m
+                break
+        return int(v) * mult
+    except ValueError:
+        return None
+
+
+def gate_anti_join(
+    events: DataFrame, live: DataFrame, key_col: str
+) -> DataFrame:
+    """``events LEFT ANTI live``, auto-inverted to
+    :func:`anti_join_small_left` in the measured BROADCAST-FLIP regime
+    (:func:`is_broadcast_flip_regime` over driver-side plan-stat
+    estimates — no job): when the live ledger's estimate lands under the
+    session's broadcast threshold while still being the larger side, the
+    planner hash-builds the whole live key set (left-anti can only build
+    right) — per-trigger-fatal in streaming (r13: 2.9× drain slowdown)
+    and the same pathology, unamplified, for a BATCH backfill looping
+    gate calls against a pruned just-under-threshold ledger (directive
+    r13-3 closed the batch-side exposure by routing every gate through
+    this one selector). Outside the flip regime the plain anti-join
+    stands: against a healthy sort-merge join the inverted shape measured
+    0.78× (``SCALE_LADDER.json small_batch_gate``). Identical result
+    either way."""
+    thresh = parse_spark_bytes(
+        events.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        )
+    )
+    if is_broadcast_flip_regime(
+        probe_volume_estimate(events), probe_volume_estimate(live), thresh
+    ):
+        return anti_join_small_left(events, live, key_col)
+    return events.join(live, on=key_col, how="left_anti")
+
+
 def is_broadcast_flip_regime(
     small_est: int | None, big_est: int | None, threshold: int | None
 ) -> bool:
@@ -691,7 +742,11 @@ def rewrite_ledger_atomic(spark, ledger_path: str, transform, schema=None):
     import os
     import shutil
 
-    from ..sinks import expiry_day_col, ledger_is_partitioned
+    from ..sinks import (
+        expiry_day_col,
+        ledger_is_partitioned,
+        mark_ledger_partitioned,
+    )
 
     if "://" in ledger_path:
         raise NotImplementedError(
@@ -719,6 +774,11 @@ def rewrite_ledger_atomic(spark, ledger_path: str, transform, schema=None):
                 .partitionBy("expiryDay")
                 .parquet(new)
             )
+            # The durable layout marker lives in the dir being swapped
+            # out — re-create it in the scratch so the swap can't shed it
+            # (an all-rows-dropped rewrite would otherwise leave a fresh-
+            # looking root that auto-detects flat).
+            mark_ledger_partitioned(new)
         else:
             rewritten.write.mode("overwrite").parquet(new)
         os.rename(ledger_path, old)

@@ -153,16 +153,45 @@ def ledger_is_partitioned(path: str) -> bool:
     return any(d.startswith("expiryDay=") for d in os.listdir(path))
 
 
+# Durable layout marker (ADVICE r13): an expiry-partitioned ledger whose
+# every expiryDay= directory has been compacted away is indistinguishable
+# from a fresh path by listing alone, so auto-detected appends would
+# silently re-establish the FLAT layout after any idle-past-TTL period.
+# The marker file records the partitioned choice durably: written on every
+# partitioned append/rewrite, never removed by compaction (which only
+# drops expiryDay= dirs), wiped only by an explicit reset
+# (``ledger_bootstrap``'s overwrite). Underscore-prefixed so Spark's file
+# index ignores it like _SUCCESS.
+LEDGER_LAYOUT_MARKER = "_LEDGER_LAYOUT_PARTITIONED"
+
+
+def mark_ledger_partitioned(path: str) -> None:
+    """Record the expiry-partitioned layout choice durably at ``path``
+    (idempotent; POSIX paths only — the partitioned-ledger machinery is
+    POSIX-scoped throughout)."""
+    if "://" in path:
+        return
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, LEDGER_LAYOUT_MARKER)
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write("partition_by_expiry=true\n")
+
+
 def ledger_layout(path: str) -> bool | None:
-    """The existing layout at ``path``: True = expiry-partitioned, False =
-    flat (root-level parquet files present), None = fresh/empty (no layout
-    established yet)."""
+    """The existing layout at ``path``: True = expiry-partitioned
+    (``expiryDay=`` directories present, or the durable layout marker —
+    an emptied partitioned ledger stays partitioned under auto-detect),
+    False = flat (root-level parquet files present), None = fresh/empty
+    (no layout established yet)."""
     if ledger_is_partitioned(path):
         return True
     if os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
         return False
+    if os.path.isfile(os.path.join(path, LEDGER_LAYOUT_MARKER)):
+        return True
     return None
 
 
@@ -220,6 +249,10 @@ def append_ledger(
             f"the existing layout, or migrate via rewrite_ledger_atomic."
         )
     if partition_by_expiry:
+        # Marker first: even a crash mid-append leaves the layout CHOICE
+        # durable, so the retry (and every later auto-detect append)
+        # stays partitioned.
+        mark_ledger_partitioned(path)
         (
             entries.withColumn("expiryDay", expiry_day_col())
             .repartition(F.col("expiryDay"))
@@ -334,6 +367,11 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
         cutoff_day = utc_day_of(now_epoch)
         n = 0
         with LedgerLock(path):
+            # Record the layout durably before any directory drops: a run
+            # that empties the ledger (every day expired) must not leave a
+            # fresh-looking root that auto-detects flat (ADVICE r13) —
+            # also backfills the marker on pre-marker ledgers.
+            mark_ledger_partitioned(path)
             expired = sorted(
                 d
                 for d in _os.listdir(path)

@@ -163,23 +163,10 @@ PREGATE_AUTO_MIN_BATCH_ROWS = 25_000_000
 # eats into the cut as live:batch grows.
 
 
-def _parse_spark_bytes(value: str) -> int | None:
-    """Parse a Spark byte-size conf string ("10MB", "10485760b", "-1").
-    Returns None when unparseable."""
-    v = value.strip().lower()
-    try:
-        mult = 1
-        for suffix, m in (
-            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
-            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
-            ("b", 1),
-        ):
-            if v.endswith(suffix):
-                v, mult = v[: -len(suffix)], m
-                break
-        return int(v) * mult
-    except ValueError:
-        return None
+# Canonical definition moved to operators.dedup (the batch gates need it
+# too, and operators must not depend on streaming); aliased here for the
+# sink's conf reads and existing importers.
+from ..operators.dedup import parse_spark_bytes as _parse_spark_bytes  # noqa: E402
 
 
 def should_bloom_pregate(
@@ -232,26 +219,30 @@ def start_ledger_gated_fact_sink(
     now_epoch: int | None = None,
     storage: StateStorage | None = None,
     bloom_pregate: bool | str = False,
-    partition_by_expiry: bool = False,
+    partition_by_expiry: bool | None = None,
 ) -> StreamingQuery:
     """K4 under streaming: per-micro-batch atomic ledger gate+mark against an
     EXTERNAL parquet ledger (the reference's DynamoDB cycle verbatim,
     ledger.repo.ts:16-27), then the K1 append sink.
 
-    ``partition_by_expiry=True`` keeps the ledger in the expiry-partitioned
-    production layout (``sinks.append_ledger``): every per-batch gate scan
-    partition-prunes the expired ``expiryDay=`` directories at the
-    manifest — the scan the stream pays EVERY trigger — and the read-back
-    verify prunes to the single day the batch's claims expire on (all of a
-    batch's claims share ``expiresAt = now + ttl``). Claims, tags, crash
-    recovery, and the reclaim job are layout-independent: the rewrite path
+    ``partition_by_expiry`` carries ``sinks.append_ledger``'s three-valued
+    contract through unchanged (ADVICE r13 — the flag used to map False to
+    "follow existing", making it impossible to ENFORCE flat): ``True``
+    keeps the ledger in the expiry-partitioned production layout, every
+    per-batch gate scan partition-prunes the expired ``expiryDay=``
+    directories at the manifest — the scan the stream pays EVERY trigger —
+    and the read-back verify prunes to the ``[day(now), day(now + ttl)]``
+    window its claims can live in; ``False`` enforces the flat layout; the
+    default ``None`` follows whatever layout the ledger already has (a
+    fresh path starts flat). Claims, tags, crash recovery, and the reclaim
+    job are layout-independent: the rewrite path
     (``rewrite_ledger_atomic``) preserves the partitioning by re-deriving
-    ``expiryDay`` from ``expiresAt``. A flag that contradicts an EXISTING
-    ledger's layout fails loudly at the first claim append
-    (``sinks.append_ledger`` raises) rather than mixing layouts under one
-    root — Spark reads a mixed root by silently dropping the flat rows,
-    which would hide every prior claim from the gate and re-admit its
-    duplicates.
+    ``expiryDay`` from ``expiresAt``. An explicit ``True``/``False`` that
+    contradicts an EXISTING ledger's layout fails loudly at the first
+    claim append (``sinks.append_ledger`` raises) rather than mixing
+    layouts under one root — Spark reads a mixed root by silently dropping
+    the flat rows, which would hide every prior claim from the gate and
+    re-admit its duplicates.
 
     Why this exists alongside ``dropDuplicatesWithinWatermark``: the state-
     store dedup horizon lives INSIDE the streaming checkpoint — rebuild the
@@ -345,8 +336,7 @@ def start_ledger_gated_fact_sink(
 
     from ..operators.dedup import (
         LedgerLock,
-        anti_join_small_left,
-        is_broadcast_flip_regime,
+        gate_anti_join,
         keep_first,
         ledger_gate_bloom,
         probe_volume_estimate,
@@ -450,42 +440,23 @@ def start_ledger_gated_fact_sink(
                     live=live,
                 )
             else:
-                # Exact gate. Detect the BROADCAST-FLIP pathology: Spark
-                # can only build the RIGHT side of a left-anti join, so
-                # when the live ledger's estimate lands UNDER the broadcast
-                # threshold while being the LARGER side, the planner
-                # hash-builds millions of live keys per trigger. Measured:
-                # the partitioned layout's pruned (honest) estimate
-                # triggered exactly that and cost ~5.7 s/trigger over a
-                # 2x2-reproduced 8-batch drain — a long-lived streaming
-                # JVM rebuilding/GC'ing the broadcast every trigger
-                # amplifies what a clean one-shot JVM prices at ~0.3 s
-                # (SCALE_LADDER.json streaming_ledger_layout +
-                # small_batch_gate warm cells). In that regime — and ONLY
-                # that regime — gate through
-                # anti_join_small_left: broadcast the batch's keys,
-                # semi-join the ledger down map-side, anti-join against
-                # the tiny result; the ledger is never shuffled or
-                # hash-built. Outside the flip regime the plain anti-join
-                # stands: against a healthy sort-merge join the inverted
-                # shape measured 0.78× at a 100M-key flat ledger
-                # (SCALE_LADDER.json small_batch_gate) — its extra
-                # map-side pass costs more than the one-box shuffle it
-                # avoids. Estimates are driver-side plan stats (no job);
-                # when either is unavailable the plain shape stands.
-                thresh = _parse_spark_bytes(
-                    spark.conf.get(
-                        "spark.sql.autoBroadcastJoinThreshold", "10MB"
-                    )
-                )
-                if is_broadcast_flip_regime(
-                    probe_volume_estimate(unique),
-                    probe_volume_estimate(live),
-                    thresh,
-                ):
-                    new_events = anti_join_small_left(unique, live, "EventID")
-                else:
-                    new_events = unique.join(live, "EventID", "left_anti")
+                # Exact gate through the ONE join-shape selector shared
+                # with the batch gates (directive r13-3): the BROADCAST-
+                # FLIP pathology — Spark can only build the RIGHT side of
+                # a left-anti join, so a live-ledger estimate landing
+                # UNDER the broadcast threshold while being the LARGER
+                # side hash-builds millions of live keys per trigger
+                # (measured ~5.7 s/trigger over a 2x2-reproduced 8-batch
+                # drain on the pruned partitioned layout;
+                # SCALE_LADDER.json streaming_ledger_layout +
+                # small_batch_gate) — auto-inverts to
+                # anti_join_small_left in exactly that regime; outside it
+                # the plain anti-join stands (the inverted shape loses
+                # 0.78× against a healthy sort-merge join). Estimates are
+                # driver-side plan stats (no job); when either is
+                # unavailable the plain shape stands. See
+                # operators.dedup.gate_anti_join.
+                new_events = gate_anti_join(unique, live, "EventID")
             # pin: the claim set is consumed twice (emptiness check + the
             # append) — materialize the micro-batch-sized result once
             # instead of running the ledger anti-join twice under the lock.
@@ -511,13 +482,14 @@ def start_ledger_gated_fact_sink(
             # long-running stream doesn't shed one empty parquet file set
             # per trigger.
             if not claims.isEmpty():
-                # Matches the ledger's existing layout (auto-detect), or
-                # establishes the partitioned layout when this sink was
-                # started with partition_by_expiry=True.
+                # The sink's three-valued flag passes through verbatim:
+                # None follows the existing layout, an explicit True/False
+                # establishes-or-enforces it (append_ledger raises on a
+                # contradiction).
                 append_ledger(
                     claims,
                     ledger_path,
-                    partition_by_expiry=(True if partition_by_expiry else None),
+                    partition_by_expiry=partition_by_expiry,
                 )
         # Verify outside the lock: survivors = the keys THIS tag owns in the
         # durable ledger — replay-stable even if we crashed mid-cycle above.
@@ -528,17 +500,31 @@ def start_ledger_gated_fact_sink(
         # _SUCCESS while the claims stand (that would suppress the events
         # forever). Partitioned compaction can't race this read into
         # missing files either way: it only drops days strictly before
-        # today, and this read prunes to the claim-expiry day (~ttl_days
-        # in the future).
+        # today, and this read prunes to [today, today+ttl].
         claimed_src = spark.read.schema(sink_ledger_schema).parquet(
             ledger_path
         )
         if "expiryDay" in claimed_src.columns:
-            # Every claim this batch made shares expiresAt = now + ttl, so
-            # the read-back needs exactly ONE partition day — prune to it.
-            claim_day = utc_day_of(now + ttl_days * 86400)
+            # RANGE prune, not equality on day(now + ttl): a crash-replay
+            # of a batch that already appended claims recomputes `now`,
+            # and if the retry crossed a UTC midnight the recomputed
+            # day(now + ttl) is one day PAST the day the first attempt's
+            # claims landed in — an equality prune would read back zero
+            # claims for this tag and commit an EMPTY output with
+            # _SUCCESS while the claims stand, suppressing the events
+            # forever (and reclaim_orphaned_claims would skip the tag:
+            # its output looks committed). Any claim this tag still owns
+            # expires strictly in the future, so >= day(now) keeps every
+            # replay-relevant claim regardless of midnight crossings;
+            # <= day(now + ttl) bounds the scan to the TTL window (an
+            # earlier attempt's expiresAt = now1 + ttl <= now + ttl, so
+            # the upper bound can never exclude this tag's claims).
             claimed_src = claimed_src.filter(
-                F.col("expiryDay") == F.lit(claim_day).cast("date")
+                (F.col("expiryDay") >= F.lit(utc_day_of(now)).cast("date"))
+                & (
+                    F.col("expiryDay")
+                    <= F.lit(utc_day_of(now + ttl_days * 86400)).cast("date")
+                )
             )
         claimed = claimed_src.filter(F.col("writer_id") == tag).select(
             F.col("pk").alias("EventID")

@@ -727,6 +727,66 @@ def test_anti_join_small_left_parity_and_plan(spark):
     assert plan.count("BroadcastHashJoin") == 2
 
 
+def test_batch_ledger_gate_auto_inverts_in_flip_regime(spark, tmp_path):
+    """Directive r13-3: the BATCH gate (ledger_gate, and through it
+    ledger_update_atomic) routes through the same flip-regime selector as
+    the streaming sink. Against a ledger whose plan estimate lands under
+    the broadcast threshold while being the larger side, the executed
+    plan must be the inverted shape (two small-side broadcasts, the
+    ledger never hash-built as an anti-join build side); against a ledger
+    SMALLER than the events side, the plain anti-join stands."""
+    import datetime as dt
+
+    now = int(dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc).timestamp())
+    # ~50k-key parquet ledger: estimate well under the session's 64MB
+    # threshold, well above the 3-row events side -> flip regime
+    ledger_path = str(tmp_path / "ledger")
+    spark.range(50_000).select(
+        F.concat(F.lit("pk-"), F.col("id")).alias("pk"),
+        F.timestamp_seconds(F.lit(now - 3600)).alias("seenAt"),
+        F.lit(now + 86400).cast("long").alias("expiresAt"),
+    ).write.parquet(ledger_path)
+    ledger = spark.read.parquet(ledger_path)
+    # parquet-backed events so Catalyst can size the small side (a
+    # Python-built LogicalRDD has no stats -> the selector would keep the
+    # plain shape by design)
+    events_path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [("pk-5",), ("pk-49999",), ("novel-1",)], "dedup_key string"
+    ).coalesce(1).write.parquet(events_path)
+    events = spark.read.parquet(events_path)
+    out = dedup.ledger_gate(events, ledger, now_epoch=now)
+    assert {r.dedup_key for r in out.collect()} == {"novel-1"}
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+    # outside the flip regime (ledger smaller than events): plain shape
+    tiny_path = str(tmp_path / "tiny_ledger")
+    spark.createDataFrame(
+        [("pk-5", dt.datetime(2024, 1, 19), now + 86400)],
+        "pk string, seenAt timestamp, expiresAt long",
+    ).write.parquet(tiny_path)
+    tiny = spark.read.parquet(tiny_path)
+    big_events = spark.range(100_000).select(
+        F.concat(F.lit("pk-"), F.col("id")).alias("dedup_key")
+    )
+    out2 = dedup.ledger_gate(big_events, tiny, now_epoch=now)
+    plan2 = (
+        out2._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan2.count("BroadcastHashJoin") == 1, plan2
+    assert out2.count() == 100_000 - 1
+
+
 def test_is_broadcast_flip_regime_boundaries():
     """The flip-regime predicate (when the streaming sink swaps the plain
     anti-join for anti_join_small_left) fires exactly when the planner

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from quill_agent_dashboard_pbi_etl_spark import sinks
@@ -279,6 +280,76 @@ def test_compact_ledger_partitioned_drops_whole_days(spark, tmp_path):
     # the NEXT day's run retires the then-complete boundary day
     assert sinks.compact_ledger(spark, path, now_epoch=t0 + day) == 2
     assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"d"}
+
+
+def test_ledger_layout_survives_full_expiry_compaction(spark, tmp_path):
+    """ADVICE r13 (layout amnesia): after compaction drops EVERY expiryDay=
+    directory of a fully-expired partitioned ledger, the layout choice must
+    stay durable — the next auto-detected append (partition_by_expiry=None,
+    e.g. a sink started with the default) must re-establish the PARTITIONED
+    layout, not silently flip the production ledger to flat."""
+    import datetime as dt
+    import os
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), t0 - 2 * day)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+
+    assert sinks.compact_ledger(spark, path, now_epoch=t0) == 1
+    assert not any(d.startswith("expiryDay=") for d in os.listdir(path))
+    # the emptied root still knows it is partitioned...
+    assert sinks.ledger_layout(path) is True
+    # ...so an auto-detect append stays partitioned
+    fresh = spark.createDataFrame(
+        [("b", dt.datetime(2024, 1, 11), t0 + 5 * day)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    sinks.append_ledger(fresh, path, partition_by_expiry=None)
+    assert any(d.startswith("expiryDay=") for d in os.listdir(path))
+    # and an explicit flat append against the emptied root fails loudly
+    with pytest.raises(ValueError, match="already holds a"):
+        sinks.append_ledger(fresh, path, partition_by_expiry=False)
+    # read path unaffected by the marker file
+    assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"b"}
+
+
+def test_ledger_layout_marker_survives_atomic_rewrite(spark, tmp_path):
+    """The durable layout marker must ride through rewrite_ledger_atomic's
+    two-rename swap (the marker lives in the dir being swapped out), even
+    when the transform drops every row."""
+    import datetime as dt
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.dedup import (
+        rewrite_ledger_atomic,
+    )
+
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    entries = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), t0 + 86400)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    path = str(tmp_path / "ledger")
+    sinks.append_ledger(entries, path, partition_by_expiry=True)
+
+    rewrite_ledger_atomic(
+        spark,
+        path,
+        lambda df: df.filter("1=0"),
+        schema="pk string, seenAt timestamp, expiresAt long",
+    )
+    assert not any(d.startswith("expiryDay=") for d in os.listdir(path))
+    assert sinks.ledger_layout(path) is True
+    # explicit reset is the one path that forgets the layout
+    sinks.ledger_bootstrap(spark, path)
+    assert sinks.ledger_layout(path) is False or not os.path.isfile(
+        os.path.join(path, sinks.LEDGER_LAYOUT_MARKER)
+    )
 
 
 def test_ledger_expiry_day_is_utc_under_non_utc_session(spark, tmp_path):

@@ -1343,6 +1343,136 @@ def test_partitioned_streaming_ledger_gate_parity_and_layout(spark, tmp_path):
     assert outs["flat"] == outs["part"] == ["ALOWARE:1", "ALOWARE:2"]
 
 
+def test_sink_partition_flag_is_three_valued(spark, tmp_path):
+    """ADVICE r13 (API asymmetry): the sink forwards append_ledger's
+    bool|None contract — explicit False now ENFORCES flat (fails loudly
+    against a partitioned ledger instead of silently following it), and
+    the default None follows the existing layout."""
+    import datetime as _dt
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark import sinks
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming import pipeline as _pl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now_epoch = int(_dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp())
+    with open(landing / "a.json", "w") as f:
+        f.write(_json.dumps(_envelope(1)) + "\n")
+    ledger = str(tmp_path / "ledger")
+    seed = spark.createDataFrame(
+        [("seed-x", _dt.datetime(2024, 1, 19), now_epoch + 14 * 86400)],
+        "pk string, seenAt timestamp, expiresAt long",
+    ).withColumn("writer_id", F.lit("seed"))
+    sinks.append_ledger(seed, ledger, partition_by_expiry=True)
+
+    def run(flag, ckpt, expect_fail):
+        stream = _pl.read_envelope_stream(spark, str(landing))
+        fact = normalize_webhooks(_pl.envelopes_to_webhook_shape(stream))
+        q = _pl.start_ledger_gated_fact_sink(
+            fact, ledger, str(tmp_path / "fact"), str(tmp_path / ckpt),
+            available_now=True, now_epoch=now_epoch,
+            partition_by_expiry=flag,
+        )
+        if expect_fail:
+            with pytest.raises(Exception, match="already holds a"):
+                q.awaitTermination(180)
+        else:
+            q.awaitTermination(180)
+
+    # explicit False against the partitioned ledger: loud failure, no write
+    run(False, "ckpt_false", expect_fail=True)
+    # default None: follows the partitioned layout
+    run(None, "ckpt_none", expect_fail=False)
+    assert any(d.startswith("expiryDay=") for d in os.listdir(ledger))
+    led = spark.read.parquet(ledger)
+    assert {r.pk for r in led.collect()} == {"seed-x", "ALOWARE:1"}
+
+
+def test_partitioned_replay_across_utc_midnight_recovers_claims(spark, tmp_path):
+    """ADVICE r13 (high): a batch that appended its claims and crashed
+    before writing output must recover its survivors on replay EVEN WHEN
+    the retry crosses a UTC midnight. The verify read-back on a
+    partitioned ledger prunes expiryDay partitions; an equality prune on
+    day(now + ttl) recomputes `now` at retry time, lands one day past the
+    day the first attempt's claims landed in, reads back zero claims, and
+    commits an EMPTY output with _SUCCESS while the claims stand — the
+    events would be suppressed forever and reclaim would skip the tag
+    (its output looks committed). The range prune keeps every claim the
+    tag still owns."""
+    import datetime as _dt
+    import json as _json
+    import os
+
+    from quill_agent_dashboard_pbi_etl_spark.functions.adapter import (
+        normalize_webhooks,
+    )
+    from quill_agent_dashboard_pbi_etl_spark.streaming import pipeline as _pl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "fact")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    # attempt 1 runs 30 s before a UTC midnight; the retry 30 s after it —
+    # day(now + ttl) differs between the attempts (2024-02-03 vs 2024-02-04)
+    now1 = int(
+        _dt.datetime(2024, 1, 20, 23, 59, 30, tzinfo=_dt.timezone.utc).timestamp()
+    )
+    now2 = now1 + 60
+
+    with open(landing / "a.json", "w") as f:
+        f.write(_json.dumps(_envelope(1)) + "\n")
+
+    def run(now_epoch, expect_fail=False):
+        stream = _pl.read_envelope_stream(spark, str(landing))
+        fact = normalize_webhooks(_pl.envelopes_to_webhook_shape(stream))
+        q = _pl.start_ledger_gated_fact_sink(
+            fact, ledger, out, ckpt,
+            available_now=True, now_epoch=now_epoch,
+            partition_by_expiry=True,
+        )
+        if expect_fail:
+            with pytest.raises(Exception):
+                q.awaitTermination(180)
+        else:
+            q.awaitTermination(180)
+
+    # attempt 1: claims land in expiryDay=2024-02-03, then the batch dies
+    # between the claim append and the output write
+    real_proj = _pl.to_physical_rows
+
+    def _boom(df):
+        raise RuntimeError("injected crash between claim and output write")
+
+    _pl.to_physical_rows = _boom
+    try:
+        run(now1, expect_fail=True)
+    finally:
+        _pl.to_physical_rows = real_proj
+    assert os.listdir(ledger), "attempt 1 must have appended its claims"
+    assert any(
+        d.startswith("expiryDay=2024-02-03") for d in os.listdir(ledger)
+    )
+
+    # retry: SAME checkpoint (same generation, same batch id → same tag),
+    # but `now` has crossed the midnight. The gate sees the live claims
+    # (nothing new to claim); the verify read-back must still find the
+    # tag's day-2024-02-03 claims and emit the event.
+    run(now2)
+    emitted = sorted(r.EventID for r in spark.read.parquet(out).collect())
+    assert emitted == ["ALOWARE:1"], (
+        "midnight-crossing replay lost the first attempt's claims — "
+        "the events are permanently suppressed"
+    )
+
+
 def test_reclaim_on_partitioned_streaming_ledger(spark, tmp_path):
     """The reclaim job on a partitioned streaming ledger: quarantine mode
     retags through the layout-preserving rewrite (expiryDay= dirs survive),

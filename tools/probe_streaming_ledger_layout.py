@@ -105,6 +105,32 @@ def run_cell(strategy: str, n_ledger: int, n_batches: int) -> None:
     ledger = os.path.join(work, "ledger")
     sinks.append_ledger(seed, ledger, partition_by_expiry=(strategy == "part"))
 
+    # Directive r13-4 instrumentation: record the flip-predicate inputs the
+    # sink will see (live-ledger plan estimate vs broadcast threshold) and
+    # COUNT how often the inverted gate shape actually fires during the
+    # drain. At the r13 decade (20M keys) the pruned estimate landed under
+    # the threshold and the narrowed condition fired; one decade up the
+    # estimate sits ABOVE threshold, the predicate says the plain shape
+    # stands, and the parent asserts the count is 0 there — falsifying the
+    # narrowed auto-condition in the regime where it must NOT fire.
+    from quill_agent_dashboard_pbi_etl_spark.operators import dedup as _dedup
+
+    live_probe = sinks.read_ledger(spark, ledger, now_epoch=now_epoch).filter(
+        F.col("expiresAt") >= F.lit(now_epoch)
+    )
+    live_est = _dedup.probe_volume_estimate(live_probe)
+    thresh = _dedup.parse_spark_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    inverted_calls = {"n": 0}
+    _real_inverted = _dedup.anti_join_small_left
+
+    def _counting_inverted(*a, **k):
+        inverted_calls["n"] += 1
+        return _real_inverted(*a, **k)
+
+    _dedup.anti_join_small_left = _counting_inverted
+
     out = os.path.join(work, "out")
     t0 = time.perf_counter()
     stream = envelopes_to_webhook_shape(read_envelope_stream(spark, landing))
@@ -135,6 +161,9 @@ def run_cell(strategy: str, n_ledger: int, n_batches: int) -> None:
                 "facts_out": facts,
                 "ledger_keys_after": keys,
                 "events_per_sec": int(n_events / wall),
+                "live_est_bytes": live_est,
+                "broadcast_threshold": thresh,
+                "inverted_gate_calls": inverted_calls["n"],
             }
         )
     )
@@ -185,6 +214,18 @@ def main() -> None:
     for field in ("facts_out", "ledger_keys_after"):
         vals = {c[field] for c in cells.values() if field in c}
         assert len(vals) <= 1, f"layouts disagree on {field}: {cells}"
+
+    # Directive r13-4: when the live estimate sits ABOVE the broadcast
+    # threshold the flip regime cannot hold — the narrowed auto-condition
+    # must NOT fire (the plain anti-join stands; a fire here would mean
+    # the inverted shape runs in the regime where it measured 0.78×).
+    for k, c in cells.items():
+        est, thr = c.get("live_est_bytes"), c.get("broadcast_threshold")
+        if est is not None and thr is not None and est > thr:
+            assert c.get("inverted_gate_calls", 0) == 0, (
+                f"cell {k}: inverted gate fired {c['inverted_gate_calls']}x "
+                f"with live_est {est} > threshold {thr}: {cells}"
+            )
 
     summary: dict = {}
     for strategy in ("flat", "part"):
