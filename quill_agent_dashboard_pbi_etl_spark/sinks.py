@@ -309,7 +309,130 @@ def prune_ledger(spark: SparkSession, path: str, now_epoch: int) -> DataFrame:
     return live
 
 
-def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None) -> int:
+def binpack_ledger_closed_days(
+    spark: SparkSession,
+    path: str,
+    now_epoch: int | None = None,
+    min_files: int = 8,
+) -> dict[str, int]:
+    """Bin-pack the CLOSED live days of an expiry-partitioned ledger
+    (directive r13-2): rewrite each ``expiryDay=`` directory that has
+    accreted more than ``min_files`` parquet files down to one file.
+
+    Why: ``append_ledger(partition_by_expiry=True)`` writes one file per
+    expiry day per append, so a 1-minute-trigger stream accretes ~1,440
+    files into each day before it ages out (~20k standing files across a
+    14-day TTL window), and every per-trigger gate scan pays the
+    listing/footer cost of all of them — measured ~1.4-2.0 ms per
+    accreted file per trigger (``SCALE_LADDER.json
+    ledger_live_day_files``), which extrapolates to tens of seconds per
+    trigger at the steady state. TTL compaction never touches live days
+    (it only drops expired ones), so this is the missing rewrite.
+
+    A day is CLOSED when it is not the maximum ``expiryDay`` present:
+    the streaming sink's claims land at ``day(now + ttl)`` which only
+    grows, so every earlier day stops receiving appends. (Packing an
+    open day would be CORRECT too — all writers serialize on the
+    :class:`LedgerLock` this job holds — just wasted churn, since the
+    day keeps accreting.) Expired days are skipped: they are
+    :func:`compact_ledger`'s job to drop whole.
+
+    Reader safety, in order of exposure: writers and locked readers (the
+    streaming sink's gate, ``ledger_update_atomic``) serialize on the
+    lock — no exposure. Unlocked readers race an ADD-THEN-UNLINK
+    sequence: the packed file lands in the day directory first (one
+    atomic rename), and only then are the old files unlinked — a reader
+    listing at any single instant sees a COMPLETE key set (possibly with
+    exact-duplicate rows mid-sequence, harmless for the gate's
+    membership semantics and collapsed by the next pack's
+    ``dropDuplicates``). The residual window — a reader that listed
+    before the packed file landed and reads after the unlinks
+    (``ignoreMissingFiles`` drops what vanished) — spans the whole
+    pack of one day; run this from the same maintenance schedule as
+    ``compact_ledger`` (the CLI does), not concurrently with unlocked
+    ad-hoc scans. A crash at any point leaves a readable day (old
+    files, packed+old, or packed+some-old); the next run re-packs and
+    ``dropDuplicates`` heals any debris.
+
+    Returns ``{day_dir: files_before}`` for each day packed.
+    """
+    import shutil as _shutil
+    import time as _time
+
+    from .operators.dedup import LedgerLock
+
+    if now_epoch is None:
+        now_epoch = int(_time.time())
+    base_schema = "pk string, seenAt timestamp, expiresAt long, writer_id string"
+    cutoff_day = utc_day_of(now_epoch)
+    packed: dict[str, int] = {}
+    with LedgerLock(path):
+        scratch = os.path.join(path, ".binpack-scratch")
+        _shutil.rmtree(scratch, ignore_errors=True)  # debris from a dead run
+        days = sorted(
+            d
+            for d in os.listdir(path)
+            if d.startswith("expiryDay=")
+            and d.removeprefix("expiryDay=") >= cutoff_day
+        )
+        for d in days[:-1]:  # every closed live day; the max day is open
+            full = os.path.join(path, d)
+            files = sorted(
+                f for f in os.listdir(full) if f.endswith(".parquet")
+            )
+            if len(files) <= min_files:
+                continue
+            # Read the day with the explicit base schema (Spark appends
+            # the partition column on a partitioned-root read, but this
+            # reads ONE day dir directly — no partition column appears);
+            # dropDuplicates heals exact-duplicate debris a previous
+            # pack crash left behind. writer_id may be absent on a
+            # batch-only ledger — select the columns actually present.
+            have = spark.read.parquet(full).columns
+            cols = [
+                c
+                for c in ("pk", "seenAt", "expiresAt", "writer_id")
+                if c in have
+            ]
+            day_schema = ", ".join(
+                s
+                for s in base_schema.split(", ")
+                if s.split(" ")[0] in cols
+            )
+            (
+                spark.read.schema(day_schema)
+                .parquet(full)
+                .dropDuplicates()
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(scratch)
+            )
+            new_files = [
+                f for f in os.listdir(scratch) if f.endswith(".parquet")
+            ]
+            assert len(new_files) == 1, new_files
+            # add-then-unlink: the packed file is visible before any old
+            # file disappears
+            os.rename(
+                os.path.join(scratch, new_files[0]),
+                os.path.join(full, f"packed-{new_files[0]}"),
+            )
+            for f in files:
+                try:
+                    os.unlink(os.path.join(full, f))
+                except FileNotFoundError:
+                    pass  # crash-debris unlink already happened
+            _shutil.rmtree(scratch, ignore_errors=True)
+            packed[d] = len(files)
+    return packed
+
+
+def compact_ledger(
+    spark: SparkSession,
+    path: str,
+    now_epoch: int | None = None,
+    binpack_min_files: int | None = None,
+) -> int:
     """TTL compaction as an executable maintenance job (RUNBOOK.md "Ledger
     lifecycle"): rewrite the ledger keeping only unexpired rows, via the
     crash-safe locked scratch-write + two-rename swap
@@ -338,7 +461,14 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
     directory's rows count toward the return value only after its delete
     verifiably completed, so the total can under-report a crashed partial
     delete (the survivors are recounted next run) but never double-count
-    one."""
+    one.
+
+    ``binpack_min_files`` (partitioned layout only, opt-in): after the
+    expired-day drops, also bin-pack each CLOSED live day that has
+    accreted more than that many per-append files — see
+    :func:`binpack_ledger_closed_days` for the measured accretion cost
+    and the reader-safety ordering. ``None`` (default) keeps the pure
+    TTL contract."""
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -392,6 +522,15 @@ def compact_ledger(spark: SparkSession, path: str, now_epoch: int | None = None)
                     continue  # partial delete: recounted + retried next run
                 if not _os.path.exists(full):
                     n += n_dir
+        # Bin-pack closed live days AFTER the expired-day lock releases
+        # (binpack_ledger_closed_days takes the same lock itself —
+        # separate acquisitions, both idempotent). Opt-in: the pure TTL
+        # contract (drop expired dirs, touch nothing live) stays the
+        # default; the maintenance CLI enables it.
+        if binpack_min_files is not None:
+            binpack_ledger_closed_days(
+                spark, path, now_epoch=now_epoch, min_files=binpack_min_files
+            )
         return n
 
     dropped = {"n": 0}

@@ -282,6 +282,135 @@ def test_compact_ledger_partitioned_drops_whole_days(spark, tmp_path):
     assert {r.pk for r in sinks.read_ledger(spark, path).collect()} == {"d"}
 
 
+def _seed_accreted_ledger(spark, path, t0):
+    """Partitioned ledger with per-append file accretion: 3 live days
+    (d+1, d+2, d+3 — the max is the OPEN day) × 3 appends each, plus one
+    fully expired day. Returns the expected live row set."""
+    import datetime as dt
+
+    day = 86400
+    for i in range(3):  # three appends -> three files per day dir
+        entries = spark.createDataFrame(
+            [
+                (f"a{i}", dt.datetime(2024, 1, 9), t0 + 1 * day + i),
+                (f"b{i}", dt.datetime(2024, 1, 9), t0 + 2 * day + i),
+                (f"c{i}", dt.datetime(2024, 1, 9), t0 + 3 * day + i),
+            ],
+            "pk string, seenAt timestamp, expiresAt long",
+        )
+        sinks.append_ledger(entries, path, partition_by_expiry=True)
+    dead = spark.createDataFrame(
+        [("x", dt.datetime(2024, 1, 1), t0 - 2 * day)],
+        "pk string, seenAt timestamp, expiresAt long",
+    )
+    sinks.append_ledger(dead, path, partition_by_expiry=True)
+    return {f"{p}{i}" for p in "abc" for i in range(3)}
+
+
+def test_binpack_closed_days_packs_and_preserves_rows(spark, tmp_path):
+    """Directive r13-2: bin-packing rewrites each CLOSED live day (not the
+    max/open day, not expired days) down to one file, preserves the exact
+    row set and the partitioned layout, heals exact-duplicate crash
+    debris, and is idempotent."""
+    import datetime as dt
+    import os
+    import shutil
+
+    day = 86400
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    path = str(tmp_path / "ledger")
+    live_pks = _seed_accreted_ledger(spark, path, t0)
+
+    def files_of(d):
+        full = os.path.join(path, d)
+        return sorted(
+            f for f in os.listdir(full) if f.endswith(".parquet")
+        )
+
+    days = sorted(d for d in os.listdir(path) if d.startswith("expiryDay="))
+    assert len(days) == 4  # 1 expired + 3 live
+    for d in days[1:]:
+        assert len(files_of(d)) == 3
+
+    # exact-duplicate crash debris in a closed day: a previous pack died
+    # between the rename and the unlinks
+    debris_day = days[1]
+    src = os.path.join(path, debris_day, files_of(debris_day)[0])
+    shutil.copy(src, os.path.join(path, debris_day, "packed-debris.parquet"))
+
+    before = {
+        tuple(r)
+        for r in sinks.read_ledger(spark, path, now_epoch=t0)
+        .filter(F.col("expiresAt") >= t0)
+        .collect()
+    }
+    packed = sinks.binpack_ledger_closed_days(
+        spark, path, now_epoch=t0, min_files=2
+    )
+    # the two CLOSED live days packed (debris counted); open + expired untouched
+    assert packed == {days[1]: 4, days[2]: 3}
+    assert len(files_of(days[1])) == 1
+    assert len(files_of(days[2])) == 1
+    assert len(files_of(days[3])) == 3  # open day keeps its files
+    assert len(files_of(days[0])) >= 1  # expired day untouched
+
+    after_df = sinks.read_ledger(spark, path, now_epoch=t0).filter(
+        F.col("expiresAt") >= t0
+    )
+    after = {tuple(r) for r in after_df.collect()}
+    assert after == before
+    assert after_df.count() == len(before)  # debris duplicates healed
+    assert {r.pk for r in after_df.collect()} == live_pks
+
+    # idempotent: a second run finds nothing above the threshold
+    assert sinks.binpack_ledger_closed_days(
+        spark, path, now_epoch=t0, min_files=2
+    ) == {}
+    assert not os.path.exists(os.path.join(path, ".binpack-scratch"))
+    assert not os.path.exists(path + ".lock")
+
+
+def test_compact_ledger_binpack_optin(spark, tmp_path):
+    """compact_ledger(binpack_min_files=N) drops expired days AND packs
+    closed live days in one maintenance call; the default keeps the pure
+    TTL contract (no live-day rewrites)."""
+    import datetime as dt
+    import os
+
+    t0 = int(dt.datetime(2024, 1, 10, 12, tzinfo=dt.timezone.utc).timestamp())
+    path = str(tmp_path / "ledger")
+    live_pks = _seed_accreted_ledger(spark, path, t0)
+
+    # default: expired day dropped, live days untouched
+    assert sinks.compact_ledger(spark, path, now_epoch=t0) == 1
+    days = sorted(d for d in os.listdir(path) if d.startswith("expiryDay="))
+    assert len(days) == 3
+    assert all(
+        sum(
+            1
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        )
+        == 3
+        for d in days
+    )
+
+    # opt-in: closed days packed
+    assert sinks.compact_ledger(spark, path, now_epoch=t0, binpack_min_files=2) == 0
+    counts = [
+        sum(
+            1
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        )
+        for d in days
+    ]
+    assert counts == [1, 1, 3]
+    assert {
+        r.pk for r in sinks.read_ledger(spark, path, now_epoch=t0).collect()
+    } == live_pks
+
+
 def test_ledger_layout_survives_full_expiry_compaction(spark, tmp_path):
     """ADVICE r13 (layout amnesia): after compaction drops EVERY expiryDay=
     directory of a fully-expired partitioned ledger, the layout choice must

@@ -85,6 +85,12 @@ def main(argv=None, spark=None) -> dict:
         "--now-epoch", type=int, default=None,
         help="compaction cutoff override (default: wall clock)",
     )
+    ap.add_argument(
+        "--binpack-min-files", type=int, default=8,
+        help="with --compact on a partitioned ledger: also bin-pack each "
+        "CLOSED live day holding more than this many per-append files "
+        "(sinks.binpack_ledger_closed_days); pass 0 to disable",
+    )
     args = ap.parse_args(argv)
     if args.mode == "quarantine" and not (
         args.events_landing and args.quarantine_dir
@@ -129,7 +135,10 @@ def main(argv=None, spark=None) -> dict:
         }
         if args.compact:
             summary["compacted"] = compact_ledger(
-                spark, args.ledger, now_epoch=args.now_epoch
+                spark,
+                args.ledger,
+                now_epoch=args.now_epoch,
+                binpack_min_files=(args.binpack_min_files or None),
             )
         print(json.dumps(summary))
         return summary
