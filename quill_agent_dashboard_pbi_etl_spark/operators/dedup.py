@@ -626,7 +626,13 @@ def ledger_gate_bloom(
         flagged = bloom_maybe_flag(events, bitmap, key_col, num_hashes)
     clean = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
     maybe = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
-    return clean.unionByName(maybe.join(live, on=key_col, how="left_anti"))
+    # The maybe-side exact re-check goes through the same flip-regime
+    # selector as every other gate join (r14 self-review): the maybe
+    # sliver is duplicates+fpp — tiny by construction — so a pruned
+    # just-under-threshold live ledger would otherwise be hash-built
+    # here too. Filtered-plan estimates are often unavailable, in which
+    # case the plain shape stands as before.
+    return clean.unionByName(gate_anti_join(maybe, live, key_col))
 
 
 class LedgerLock:
