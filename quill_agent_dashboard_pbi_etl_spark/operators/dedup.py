@@ -453,16 +453,33 @@ def gate_anti_join(
     this one selector). Outside the flip regime the plain anti-join
     stands: against a healthy sort-merge join the inverted shape measured
     0.78× (``SCALE_LADDER.json small_batch_gate``). Identical result
-    either way."""
+    either way.
+
+    Cost ordering: ``probe_volume_estimate`` forces a Catalyst
+    analysis+optimization pass on the probed subplan, which is cheap for
+    the live side (a file scan + filter) but can be the full adapter
+    chain on the events side — so the live estimate and the
+    half-threshold floor are checked FIRST, and the events plan is only
+    ever sized inside the candidate flip window. In the common cases —
+    ledger far below the threshold (every small registry ledger) or
+    above it (every at-scale healthy-SMJ ledger) — this adds one cheap
+    plan-stat read and nothing else."""
     thresh = parse_spark_bytes(
         events.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10MB"
         )
     )
-    if is_broadcast_flip_regime(
-        probe_volume_estimate(events), probe_volume_estimate(live), thresh
-    ):
-        return anti_join_small_left(events, live, key_col)
+    if thresh is not None and thresh > 0:
+        big = probe_volume_estimate(live)
+        if (
+            big is not None
+            and 2 * big >= thresh  # the measured-harm neighborhood...
+            and big <= thresh      # ...just under the threshold
+        ):
+            if is_broadcast_flip_regime(
+                probe_volume_estimate(events), big, thresh
+            ):
+                return anti_join_small_left(events, live, key_col)
     return events.join(live, on=key_col, how="left_anti")
 
 
@@ -481,12 +498,23 @@ def is_broadcast_flip_regime(
     plan) and a ``None`` threshold (an unparsable conf value — e.g. a
     suffix ``_parse_spark_bytes`` doesn't know) are never the flip regime
     — the caller keeps the plain shape.
+
+    The ``2*big >= threshold`` floor (r14) bounds the regime to where
+    the harm was actually MEASURED — a big-side estimate JUST UNDER the
+    threshold (r13: pruning dropped 79 MB → 55 MB under the 64 MB
+    threshold; the harm is the multi-million-key hash build). A
+    genuinely small ledger (a few hundred KB against a 64 MB threshold)
+    broadcasts cheaply and the plain single-join plan is optimal —
+    inverting there swaps one tiny broadcast for two joins plus an
+    extra Catalyst pass sizing the events plan, a pure loss. Widen the
+    floor only on new harm measurements below it.
     """
     return (
         small_est is not None
         and big_est is not None
         and threshold is not None
         and big_est <= threshold  # planner WILL hash-build the big side
+        and 2 * big_est >= threshold  # ...a near-threshold (measured-harm) build
         and big_est > small_est   # ...and it is the bigger side
         and small_est <= threshold  # small side safely broadcastable
     )

@@ -738,8 +738,12 @@ def test_batch_ledger_gate_auto_inverts_in_flip_regime(spark, tmp_path):
     import datetime as dt
 
     now = int(dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc).timestamp())
-    # ~50k-key parquet ledger: estimate well under the session's 64MB
-    # threshold, well above the 3-row events side -> flip regime
+    # ~50k-key parquet ledger (~150KB estimate), well above the 3-row
+    # events side; the session threshold is dropped to 256KB for this
+    # block so the ledger sits in the flip window [threshold/2,
+    # threshold] — the r14 floor keeps genuinely small-vs-threshold
+    # ledgers on the plain shape, so at the default 64MB this ledger
+    # would (correctly) not invert.
     ledger_path = str(tmp_path / "ledger")
     spark.range(50_000).select(
         F.concat(F.lit("pk-"), F.col("id")).alias("pk"),
@@ -755,14 +759,19 @@ def test_batch_ledger_gate_auto_inverts_in_flip_regime(spark, tmp_path):
         [("pk-5",), ("pk-49999",), ("novel-1",)], "dedup_key string"
     ).coalesce(1).write.parquet(events_path)
     events = spark.read.parquet(events_path)
-    out = dedup.ledger_gate(events, ledger, now_epoch=now)
-    assert {r.dedup_key for r in out.collect()} == {"novel-1"}
-    plan = (
-        out._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("== Initial Plan ==")[0]
-    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024))
+    try:
+        out = dedup.ledger_gate(events, ledger, now_epoch=now)
+        assert {r.dedup_key for r in out.collect()} == {"novel-1"}
+        plan = (
+            out._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2, plan
 
@@ -805,3 +814,9 @@ def test_is_broadcast_flip_regime_boundaries():
     assert not flip(1 << 20, 55 << 20, -1)      # broadcast disabled (-1)
     assert flip(T, T + 1 - 1, T) is False       # big == small == threshold
     assert flip(T - 1, T, T)                    # boundary: big at threshold
+    # the r14 half-threshold floor: the regime is a NEAR-threshold build
+    # (where the harm was measured), never a genuinely small ledger that
+    # broadcasts cheaply anyway
+    assert not flip(10 << 10, 150 << 10, T)     # 150KB ledger: plain wins
+    assert flip(1 << 20, 32 << 20, T)           # exactly at the floor
+    assert not flip(1 << 20, (32 << 20) - 1, T) # just under the floor
