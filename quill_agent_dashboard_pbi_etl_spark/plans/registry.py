@@ -49,9 +49,28 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Analyzed-plan memo for the shared adapter CTE (r14): ~30 registry queries
+# construct this exact subtree, and each construction costs ~1.2 s of pure
+# DRIVER analysis (the 600-literal tz INSET + 7-format timestamp family are
+# re-analyzed per transformation). Like readers._TABLE_PLAN_CACHE this holds
+# only the LAZY analyzed plan — a prepared view, no data; every action
+# re-executes the full scan→normalize pipeline from parquet. Spark marks
+# resolved subtrees analyzed, so queries building on the memoized frame skip
+# re-analysis of the whole chain (measured: follow-up filter+groupBy
+# constructs in ~0.03 s).
+_FACT_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def normalized_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet → webhook shape → adapter pipeline (P1-P12)."""
-    return normalize_webhooks(events_as_webhooks(load_table(spark, sf_dir, "events")))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _FACT_PLAN_CACHE.get(key)
+    if df is None:
+        df = normalize_webhooks(
+            events_as_webhooks(load_table(spark, sf_dir, "events"))
+        )
+        _FACT_PLAN_CACHE[key] = df
+    return df
 
 
 # =========================================================================== #

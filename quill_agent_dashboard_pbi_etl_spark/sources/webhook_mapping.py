@@ -42,6 +42,41 @@ LEDGER_TTL_DAYS = 14  # DYNAMO_TTL_DAYS default (ledger.repo.ts:10-12)
 TZ_BY_MOD = ["UTC", "America/New_York", "America/Los_Angeles", "Europe/Berlin", "Asia/Tokyo"]
 
 
+def _nd_barrier(col: F.Column) -> F.Column:
+    """Identity on values, NON-DETERMINISTIC to Catalyst — a predicate-
+    pushdown barrier (guide §2.4/§7.2, r14 measurement).
+
+    Why: every consumer predicate over this frame is on a DERIVED column
+    (is_outbound, MetricID, FactDateKey, ...), so Catalyst substitutes the
+    full defining expression into the filter and pushes it through the
+    ``ensure_min_partitions`` round-robin exchange into the SCAN stage —
+    which on single-row-group inputs is ONE task. Measured plan before the
+    barrier (plans/r14/time_filter_today_before.txt): the Filter below the
+    Exchange carries the whole 7-format timestamp parse + tz INSET chain,
+    serialized on one core while the 32-way stage above does a trivial
+    re-projection. A projection containing any non-deterministic expression
+    blocks that substitution (PushDownPredicates requires deterministic
+    project fields), so the filters stay ABOVE the exchange and run at full
+    parallelism.
+
+    At a real many-file layout ``ensure_min_partitions`` no-ops (no
+    exchange), scan and projection share one pipelined stage, and the
+    barrier costs nothing; none of these predicates could reach parquet
+    ``PushedFilters`` anyway (all are over derived columns).
+
+    Shape note: ``shuffle(array(col))[1]`` — ``shuffle`` is the
+    non-deterministic marker, and a permutation of a single-element array
+    is provably the identity, so every row's value and type are ``col``
+    unchanged (only nullability widens, which no consumer or oracle
+    compares). The earlier ``when(rand() >= -1, col)`` forms do NOT work:
+    ``when(c, x).otherwise(x)`` is folded to ``x`` by the conditional
+    simplifier, and Spark 4's optimizer constant-folds range-provable
+    ``rand()`` comparisons, erasing the barrier (both verified in the
+    optimized plan).
+    """
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def events_as_webhooks(events: DataFrame) -> DataFrame:
     """Project the driver events table into the webhook shape consumed by
     ``functions.adapter.normalize_webhooks``.
@@ -49,7 +84,14 @@ def events_as_webhooks(events: DataFrame) -> DataFrame:
     ``k`` is extracted from the JSON props ONCE into a column (the mapping
     uses it four times; repeating ``get_json_object`` would re-parse the JSON
     per use), and the scan is spread to full parallelism first — the adapter
-    chain is the most expression-heavy stage in the engine.
+    chain is the most expression-heavy stage in the engine. ``event_name``
+    carries :func:`_nd_barrier` so consumer filters on derived columns
+    cannot collapse below the spreading exchange (single-task scan guard).
+    The barrier must live on a column the pushed predicates themselves
+    reference, or column pruning deletes it and the pushdown returns —
+    every consumer's outbound/metric gate reads ``event_name``, so it
+    always survives pruning (verified: a barrier on the pruned-away
+    ``source`` vanished from the plan).
     """
     from .readers import ensure_min_partitions
 
@@ -93,7 +135,7 @@ def events_as_webhooks(events: DataFrame) -> DataFrame:
 
     return events.select(
         F.lit("ALOWARE").alias("source"),
-        event_name.alias("event_name"),
+        _nd_barrier(event_name).alias("event_name"),
         F.when(eid % 10 == 7, F.lit(None).cast("long")).otherwise(eid).alias("ext_id"),
         F.when(eid % 10 == 7, F.concat(F.lit("uuid-"), eid.cast("string")))
         .otherwise(F.lit(None).cast("string"))
