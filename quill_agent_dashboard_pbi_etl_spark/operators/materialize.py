@@ -82,6 +82,36 @@ def unpin(df: DataFrame) -> None:
         pass  # best-effort: a leak here degrades to the old GC-released path
 
 
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Driver-local rows → DataFrame as a JVM ``LocalRelation`` (r14, guide
+    §4: eliminate the Python boundary).
+
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    Python-RDD slices — every downstream stage that scans the frame then
+    launches that many tasks, each paying a Python-worker round trip for a
+    near-empty slice (measured: ~0.25 s/task × 32 tasks × every stage, with
+    ~zero CPU — the dominant cost of the k-means centroid loop and of every
+    query broadcasting the 4-row DimMetric). Routing through pandas + Arrow
+    yields a ``LocalRelation``: no RDD, no Python workers, directly
+    broadcastable, and Catalyst gets honest size stats. Falls back to the
+    plain path when pandas/Arrow is unavailable or rejects the values."""
+    if rows:
+        try:
+            import pandas as pd
+
+            if hasattr(schema, "fields"):
+                struct = schema
+            else:  # DDL string → StructType, via the public empty-frame path
+                struct = spark.createDataFrame([], schema).schema
+            pdf = pd.DataFrame(
+                [tuple(r) for r in rows], columns=[f.name for f in struct.fields]
+            )
+            return spark.createDataFrame(pdf, schema=struct)
+        except Exception:
+            pass  # fall back to the row-iterating path below
+    return spark.createDataFrame(rows, schema)
+
+
 def release_dead_blocks(spark) -> None:
     """Session hygiene between independent query executions: drop cached
     tables and nudge both GCs so dead pin() blocks actually leave the block

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from .materialize import local_frame
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i] via zip_with + aggregate (JVM codegen, no UDF)."""
@@ -508,8 +510,12 @@ def train_ivf_centroids(
         # Centroids are model state: pin them locally to cut the iteration
         # lineage (n_cells x dim doubles — trivially driver-sized).
         rows = [(r["centroid_id"], list(r[vec_col])) for r in new.collect()]
-        cents = spark.createDataFrame(
-            rows, f"centroid_id long, {vec_col} array<double>"
+        # LocalRelation, not a Python-RDD: the plain createDataFrame(list)
+        # path made every later stage scanning the centroids launch 32
+        # near-empty Python-worker tasks (~0.25 s each, ~zero CPU — the
+        # dominant cost of this loop at bench scale, r14 measurement).
+        cents = local_frame(
+            spark, rows, f"centroid_id long, {vec_col} array<double>"
         )
     return cents
 

@@ -27,8 +27,13 @@ DEFAULT_METRIC_ROWS = [
 
 def build_dim_metric(spark: SparkSession) -> DataFrame:
     """C3 DimMetric: 4-row static dim (src/domain/types.ts:10, goals
-    tools/pbi/create-dataset.ts:76-77)."""
-    return spark.createDataFrame(DEFAULT_METRIC_ROWS, DIM_METRIC_SCHEMA)
+    tools/pbi/create-dataset.ts:76-77). Built as a LocalRelation
+    (materialize.local_frame) — the plain list path parallelizes into 32
+    Python-RDD slices, so every query broadcasting this dim paid a 32-task
+    Python-worker stage (r14 measurement)."""
+    from .materialize import local_frame
+
+    return local_frame(spark, DEFAULT_METRIC_ROWS, DIM_METRIC_SCHEMA)
 
 
 def sync_dim_agent(

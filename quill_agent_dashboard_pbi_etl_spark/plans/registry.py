@@ -864,14 +864,25 @@ def q_approx_distinct_agents_check(spark: SparkSession, sf_dir: str) -> DataFram
     ``err_ok`` asserts the HyperLogLog++ estimate (rsd 0.01) lands within 5%
     relative error of the exact count — so a sketch regression flips the
     boolean and fails the driver's hash check instead of hiding in the
-    rows-only tier. Both aggregates ride one hash-agg pass — each computed
-    ONCE, with the error bound as a post-agg projection, so the expand for
-    the exact distinct carries a single count_distinct expression; the exact
-    count_distinct is the harness cost, not the production path
-    (approx_distinct_agents is the production query)."""
+    rows-only tier.
+
+    Shape (r14 optimization, guide §2.3 "aggregate before you shuffle"):
+    dedup (MetricID, AgentID) first, then BOTH aggregates over the distinct
+    set. The previous single-pass groupBy carried
+    ``partial_approx_count_distinct`` through Spark's count-distinct rewrite
+    at the (MetricID, AgentID) grouping level — one ~16 KB rsd-0.01 HLL
+    sketch PER AGENT GROUP, thousands of sketches of pure allocation/merge
+    overhead (measured: 54 s of task runTime in that stage at sf0.1; 2×
+    whole-query win from this change, plan in plans/r14). HLL insertion is
+    idempotent over duplicates, so the sketch built from the distinct set is
+    bit-identical to the one built from the multiset — same estimate, same
+    err_ok, oracle-verified unchanged; exact_agents = count(*) over the
+    dedup groups. Same two exchanges; sketch state now exists only at the
+    per-metric grouping (a handful of groups)."""
     fact = normalized_fact(spark, sf_dir)
-    agged = fact.groupBy("MetricID").agg(
-        F.count_distinct("AgentID").alias("exact_agents"),
+    dedup = fact.select("MetricID", "AgentID").distinct()
+    agged = dedup.groupBy("MetricID").agg(
+        F.count("*").alias("exact_agents"),
         F.approx_count_distinct("AgentID", 0.01).alias("_approx_agents"),
     )
     return agged.select(
@@ -1588,8 +1599,21 @@ def q_events_in_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a nested-loop range join. Oracle: plain inequality join in DuckDB."""
     from ..operators.intervals import interval_join
 
+    from ..functions import adapter
+
     fact = normalized_fact(spark, sf_dir)
-    agents = fact.select("AgentID").distinct()
+    # Shift-dim agent list (r14 optimization, guide §8 "decide with small
+    # rows"): derive it from the RAW webhook projection — AgentID needs only
+    # owner_id/user_id, none of the timestamp/tz chain — instead of running
+    # the full adapter pipeline a second time just to enumerate agents. This
+    # is a SUPERSET of the normalized agents (the outbound/metric gates only
+    # drop rows), and the interval join is INNER on AgentID, so shift rows
+    # for agents whose every event was gated out match nothing: the result
+    # is provably identical row-for-row (oracle unchanged, verified).
+    wh = events_as_webhooks(load_table(spark, sf_dir, "events"))
+    agents = wh.select(
+        adapter.agent_id(F.col("owner_id"), F.col("user_id")).alias("AgentID")
+    ).distinct()
     dates = rollups.build_dim_date(spark, "2024-01-01", "2024-01-31").select("Date")
     shifts = star.build_dim_shift(agents, dates, start_hour=9, shift_hours=8).select(
         "AgentID", "ShiftStartLocal", "ShiftEndLocal"
