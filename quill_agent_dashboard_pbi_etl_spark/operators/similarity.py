@@ -592,22 +592,117 @@ def all_pairs_cosine(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold — the ground-truth baseline the LSH
-    recall harness compares against. Deliberately O(n²): run it on
+    recall harness compares against. Deliberately O(n²) in COMPUTE: run it on
     model-sized corpora (the harness's query/eval sets) or per-block, never
     on the full 100 TB corpus — that is precisely what
-    :func:`near_dup_by_cosine` exists to avoid. Delegates to the
-    single-block numpy matmul lane (one BLAS call beats n²/2 interpreted
-    higher-order-function folds by an order of magnitude at harness sizes).
+    :func:`near_dup_by_cosine` exists to avoid.
+
+    Execution shape (r14 optimization): triangular block decomposition.
+    The old single-block delegation ran the whole n² sweep as ONE
+    applyInPandas task (measured: the entire wall of the recall harness was
+    one serialized Python stage). Vectors are chunked by ``pmod(id, C)``;
+    each row fans out to every block-pair group its chunk participates in
+    (C copies/row of a model-sized table), and group (ca, cb) computes only
+    cross-chunk (or, on the diagonal, within-chunk triangular) pairs — each
+    unordered pair lands in exactly one group, C(C+1)/2 independent tasks,
+    and the per-pair dot/norm/round arithmetic is the shared kernel's,
+    bit-for-bit (tests pin the exact output). ``n_chunks=None`` derives
+    C ≈ sqrt(2·defaultParallelism) so the block count tracks the cluster;
+    1 reproduces the single-block shape.
     """
-    return blocked_near_dup_numpy(
-        corpus.withColumn("__all", F.lit(0)),
-        block_col="__all",
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
+    if n_chunks is None:
+        import math
+
+        n_chunks = max(
+            1, math.isqrt(2 * corpus.sparkSession.sparkContext.defaultParallelism)
+        )
+    if n_chunks <= 1:
+        return blocked_near_dup_numpy(
+            corpus.withColumn("__all", F.lit(0)),
+            block_col="__all",
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    v = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.col(id_col), F.lit(n_chunks)).cast("int").alias("__c"),
     )
+    exploded = v.withColumn(
+        "__o", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+    ).select(
+        id_col,
+        vec_col,
+        "__c",
+        F.least("__c", "__o").alias("__ca"),
+        F.greatest("__c", "__o").alias("__cb"),
+    )
+    return exploded.groupBy("__ca", "__cb").applyInPandas(
+        _cross_block_pairs_fn(threshold, id_col, vec_col),
+        "vec_a long, vec_b long, cosine_sim double",
+    )
+
+
+def _cross_block_pairs_fn(threshold: float, id_col: str, vec_col: str):
+    """Per-(ca, cb) kernel for the triangular decomposition: diagonal groups
+    reuse the shared within-block kernel; off-diagonal groups compute the
+    A×B cross product only (within-A / within-B pairs belong to their own
+    diagonal groups), chunked to the same ≤64 MB similarity-buffer bound.
+    The arithmetic (contiguous float64 dot, norm product, round to 6) is
+    identical to :func:`_block_pairs_fn`, so a pair's cosine is bit-equal
+    regardless of which decomposition computed it."""
+    import numpy as np
+    import pandas as pd
+
+    within = _block_pairs_fn(threshold, id_col, vec_col)
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["vec_a", "vec_b", "cosine_sim"]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        ca, cb = int(pdf["__ca"].iloc[0]), int(pdf["__cb"].iloc[0])
+        if ca == cb:
+            return within(pdf)
+        a_pdf = pdf[pdf["__c"] == ca]
+        b_pdf = pdf[pdf["__c"] == cb]
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame(columns=cols)
+        a_ids = a_pdf[id_col].to_numpy(dtype=np.int64)
+        b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a_pdf[vec_col]), dtype=np.float64)
+        b_mat = np.array(list(b_pdf[vec_col]), dtype=np.float64)
+        a_norms = np.linalg.norm(a_mat, axis=1)
+        b_norms = np.linalg.norm(b_mat, axis=1)
+        nb = len(b_ids)
+        chunk = max(1, min(4096, (64 << 20) // (8 * nb)))
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for s in range(0, len(a_ids), chunk):
+            e = min(s + chunk, len(a_ids))
+            sims = np.round(
+                (a_mat[s:e] @ b_mat.T) / np.outer(a_norms[s:e], b_norms), 6
+            )
+            ai, bj = np.nonzero(sims >= threshold)
+            ia, ib = a_ids[ai + s], b_ids[bj]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_s.append(sims[ai, bj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "cosine_sim": (
+                    np.concatenate(out_s) if out_s else np.array([], np.float64)
+                ),
+            }
+        )
+
+    return block_pairs
 
 
 def blocked_near_dup_numpy(
