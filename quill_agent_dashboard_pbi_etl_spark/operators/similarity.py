@@ -82,6 +82,77 @@ def brute_force_topk(
     )
 
 
+def _collect_centroids(
+    centroids: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Centroid DataFrame → driver-side (centroid_id, vector) rows, ordered by
+    centroid_id. Centroid sets are model state (n_cells × dim doubles) —
+    driver-sized BY DEFINITION, so this is a bounded collect, not a data-scale
+    one. Values arrive as exact IEEE doubles (a float column widens exactly),
+    so literal re-embedding preserves every bit."""
+    return [
+        (r["centroid_id"], [float(x) for x in r[vec_col]])
+        for r in centroids.select("centroid_id", vec_col)
+        .orderBy("centroid_id")
+        .collect()
+    ]
+
+
+def _nearest_cells(
+    vectors: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """Narrow nearest-cell assignment against a driver-side centroid list
+    (r14, guide §2.4 "remove shuffles outright"): the old shape cross-joined
+    every vector with the broadcast centroid set (n_cells× row blowup) and
+    picked the argmax with a row_number window — one full Exchange + Sort per
+    assignment call, five calls per trained-IVF query. Centroids are
+    model-sized, so they embed as literal arrays and the argmax becomes a
+    pure projection evaluated inside the scan stage: per row, build
+    (sim, centroid_id) structs, sort with a comparator that reproduces the
+    window's exact order (sim DESC with Spark's NaN-greatest-first semantics,
+    centroid_id ASC tie-break), keep the first ``n_probe``. Zero exchanges.
+    The cosine expression and 6-dp round are byte-identical to the old path,
+    so assignments — and everything downstream — are unchanged (A/B-verified
+    exact at sf0.001/0.01/0.1).
+
+    Expects ``vectors`` to carry (id_col, vec: array<double>).
+    """
+    if not cent_rows:
+        # Degenerate empty model: the old crossJoin produced zero rows.
+        return vectors.select(
+            F.col(id_col), F.lit(None).cast("long").alias("centroid_id"), "vec"
+        ).filter(F.lit(False))
+    cells = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col("vec"), F.array(*[F.lit(x) for x in cvec])), 6
+                ).alias("sim"),
+                F.lit(int(cid)).cast("long").alias("centroid_id"),
+            )
+            for cid, cvec in cent_rows
+        ]
+    )
+    ranked = F.slice(
+        F.array_sort(
+            cells,
+            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["centroid_id"] < r["centroid_id"], F.lit(-1))
+            .when(l["centroid_id"] > r["centroid_id"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
+        min(n_probe, len(cent_rows)),
+    )
+    return vectors.select(
+        F.col(id_col), F.explode(ranked).alias("__cell"), "vec"
+    ).select(id_col, F.col("__cell.centroid_id").alias("centroid_id"), "vec")
+
+
 def assign_ivf_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -89,20 +160,11 @@ def assign_ivf_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (max cosine, centroid-id tie-break). Centroids are broadcast-sized."""
+    (max cosine, centroid-id tie-break). Centroids are model-sized: collected
+    once and folded into a narrow argmax projection (no crossJoin, no window
+    exchange — see :func:`_nearest_cells`)."""
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    cents = centroids.select(
-        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
-    scored = v.crossJoin(broadcast(cents)).withColumn(
-        "sim", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "vec")
-    )
+    return _nearest_cells(v, _collect_centroids(centroids, vec_col), 1, id_col)
 
 
 def ivf_topk(
@@ -120,8 +182,19 @@ def ivf_topk(
     scanning one cell. Recall loss is the standard IVF nprobe=1 trade; raise
     recall by unioning more probe cells.
     """
-    c_assigned = assign_ivf_cells(corpus, centroids, id_col, vec_col)
-    q_assigned = assign_ivf_cells(queries, centroids, id_col, vec_col)
+    cent_rows = _collect_centroids(centroids, vec_col)
+    c_assigned = _nearest_cells(
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec")),
+        cent_rows,
+        1,
+        id_col,
+    )
+    q_assigned = _nearest_cells(
+        queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec")),
+        cent_rows,
+        1,
+        id_col,
+    )
     scored = (
         c_assigned.alias("c")
         .join(
@@ -490,12 +563,39 @@ def train_ivf_centroids(
     seeding (lowest ids) and tie-breaks make the model reproducible.
     A cell that loses all members drops out (standard k-means shrinkage).
     """
-    cents = corpus.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    rows = train_ivf_centroid_rows(corpus, n_cells, iters, id_col, vec_col)
+    # LocalRelation, not a Python-RDD: the plain createDataFrame(list)
+    # path made every later stage scanning the centroids launch 32
+    # near-empty Python-worker tasks (~0.25 s each, ~zero CPU — the
+    # dominant cost of this loop at bench scale, r14 measurement).
+    return local_frame(
+        corpus.sparkSession, rows, f"centroid_id long, {vec_col} array<double>"
     )
-    spark = corpus.sparkSession
+
+
+def train_ivf_centroid_rows(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Driver-rows form of :func:`train_ivf_centroids` (r14): the model is
+    driver-sized state either way, and the in-loop consumers
+    (:func:`_nearest_cells`) want the literal rows — round-tripping through a
+    DataFrame per iteration bought nothing. Each Lloyd iteration is now ONE
+    job: narrow nearest-cell projection (no crossJoin/window exchange — guide
+    §2.4) → posexplode → two map-side-combined groupBys → a model-sized
+    collect. The mean recompute keeps the exact F.avg aggregation plan, so
+    centroid values are unchanged (within the run-to-run float-merge envelope
+    the 6-dp sim round already absorbs)."""
+    rows = [
+        (r[id_col], [float(x) for x in r[vec_col]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    v = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
     for _ in range(iters):
-        assigned = assign_ivf_cells(corpus, cents, id_col, vec_col)
+        assigned = _nearest_cells(v, rows, 1, id_col)
         new = (
             assigned.select("centroid_id", F.posexplode("vec").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
@@ -507,17 +607,10 @@ def train_ivf_centroids(
                 ).alias(vec_col)
             )
         )
-        # Centroids are model state: pin them locally to cut the iteration
-        # lineage (n_cells x dim doubles — trivially driver-sized).
-        rows = [(r["centroid_id"], list(r[vec_col])) for r in new.collect()]
-        # LocalRelation, not a Python-RDD: the plain createDataFrame(list)
-        # path made every later stage scanning the centroids launch 32
-        # near-empty Python-worker tasks (~0.25 s each, ~zero CPU — the
-        # dominant cost of this loop at bench scale, r14 measurement).
-        cents = local_frame(
-            spark, rows, f"centroid_id long, {vec_col} array<double>"
+        rows = sorted(
+            (r["centroid_id"], [float(x) for x in r[vec_col]]) for r in new.collect()
         )
-    return cents
+    return rows
 
 
 def assign_ivf_cells_multi(
@@ -529,20 +622,10 @@ def assign_ivf_cells_multi(
 ) -> DataFrame:
     """Like assign_ivf_cells but keeps the ``n_probe`` nearest cells per
     vector — the query-side recall knob (each extra probe joins one more
-    cell's worth of candidates)."""
+    cell's worth of candidates). Same narrow-projection shape as
+    :func:`_nearest_cells` (no crossJoin, no window exchange)."""
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    cents = centroids.select(
-        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
-    scored = v.crossJoin(broadcast(cents)).withColumn(
-        "sim", F.round(cosine(F.col("vec"), F.col("cvec")), 6)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
-        .select(id_col, "centroid_id", "vec")
-    )
+    return _nearest_cells(v, _collect_centroids(centroids, vec_col), n_probe, id_col)
 
 
 def ivf_topk_trained(
@@ -558,9 +641,19 @@ def ivf_topk_trained(
     """End-to-end trained IVF: k-means centroids → corpus assigned nprobe=1 →
     queries probe their ``n_probe`` nearest cells → exact cosine within the
     probed cells only. The scan-reduction ANN path with a learned index."""
-    cents = train_ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
-    c_assigned = assign_ivf_cells(corpus, cents, id_col, vec_col)
-    q_assigned = assign_ivf_cells_multi(queries, cents, n_probe, id_col, vec_col)
+    cent_rows = train_ivf_centroid_rows(corpus, n_cells, iters, id_col, vec_col)
+    c_assigned = _nearest_cells(
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec")),
+        cent_rows,
+        1,
+        id_col,
+    )
+    q_assigned = _nearest_cells(
+        queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec")),
+        cent_rows,
+        n_probe,
+        id_col,
+    )
     scored = (
         c_assigned.alias("c")
         .join(
@@ -575,7 +668,11 @@ def ivf_topk_trained(
             F.col(f"c.{id_col}").alias("neighbor_id"),
             F.round(cosine(F.col("q.vec"), F.col("c.vec")), 6).alias("cosine_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
+        # No dropDuplicates: it was a per-(query, neighbor) dedup exchange,
+        # but duplicates are structurally impossible — every corpus vector is
+        # assigned to exactly ONE cell (nprobe=1), so a (query, neighbor)
+        # pair joins through at most one shared centroid_id no matter how
+        # many cells the query probes (r14; A/B-verified identical rows).
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

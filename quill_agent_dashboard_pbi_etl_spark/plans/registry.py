@@ -295,15 +295,31 @@ def q_roster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ring group contains agents whose numeric id is not divisible by 3
     ('unknown' is off-roster)."""
     fact = normalized_fact(spark, sf_dir)
-    roster = (
-        fact.select("AgentID")
+    return gates.roster_gate(fact, _synthetic_roster(spark, sf_dir)).select(
+        "EventID", "AgentID", "FactDateKey", "MetricID"
+    )
+
+
+def _synthetic_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bench ring-group roster (numeric agent ids not divisible by 3),
+    derived from the RAW webhook projection instead of a second full adapter
+    chain (r14, same superset argument as events_in_shift: AgentID needs only
+    owner_id/user_id; the outbound/metric gates only DROP rows, so the raw
+    agent universe is a superset of the normalized one — and a semi-join
+    against a roster built from any superset of the fact's own agents keeps
+    exactly the rows satisfying the roster predicate, row-identical to the
+    old fact-derived roster; oracle unchanged, verified)."""
+    from ..functions import adapter
+
+    wh = events_as_webhooks(load_table(spark, sf_dir, "events"))
+    return (
+        wh.select(
+            adapter.agent_id(F.col("owner_id"), F.col("user_id")).alias("AgentID")
+        )
         .distinct()
         .withColumn("num", F.expr("try_cast(AgentID AS BIGINT)"))
         .filter(F.col("num").isNotNull() & (F.col("num") % 3 != 0))
         .select("AgentID")
-    )
-    return gates.roster_gate(fact, roster).select(
-        "EventID", "AgentID", "FactDateKey", "MetricID"
     )
 
 
@@ -322,14 +338,7 @@ def q_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 run counters {processed, posted} (orchestrator.ts:87-89): processed
     = adapter survivors, posted = after the roster gate."""
     fact = normalized_fact(spark, sf_dir)
-    roster = (
-        fact.select("AgentID")
-        .distinct()
-        .withColumn("num", F.expr("try_cast(AgentID AS BIGINT)"))
-        .filter(F.col("num").isNotNull() & (F.col("num") % 3 != 0))
-        .select("AgentID")
-    )
-    posted = gates.roster_gate(fact, roster)
+    posted = gates.roster_gate(fact, _synthetic_roster(spark, sf_dir))
     return rollups.run_counters(fact, posted)
 
 
