@@ -98,6 +98,22 @@ def _collect_centroids(
     ]
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal for a Python float. ``repr`` emits the
+    shortest correctly-rounded decimal that round-trips; Java's
+    ``parseDouble`` (what Spark's lexer uses for ``...D`` literals) is also
+    correctly rounded, so the parsed double is bit-identical. Non-finite
+    values (never produced by the k-means means, handled defensively) go
+    through the CAST spelling the lexer accepts."""
+    import math
+
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def _nearest_cells(
     vectors: DataFrame,
     cent_rows: list[tuple[int, list[float]]],
@@ -118,6 +134,16 @@ def _nearest_cells(
     so assignments — and everything downstream — are unchanged (A/B-verified
     exact at sf0.001/0.01/0.1).
 
+    Driver-cost note (r14 measurement): the whole projection is composed as
+    ONE ``F.expr`` SQL string — building it Column-by-Column cost one py4j
+    round trip per centroid element (n_cells × dim ≈ 512 ``F.lit`` calls per
+    invocation, ~6 s of pure driver time per call on the bench box; the SQL
+    parser ingests the same expression tree in one call). The SQL spellings
+    (``aggregate(zip_with(...))`` for the dot product, ``0.0D`` seeds,
+    ``CASE`` comparator) parse to exactly the Catalyst expressions the
+    Column API built, so the arithmetic — and every downstream result — is
+    unchanged (oracle + pinned-output tests).
+
     Expects ``vectors`` to carry (id_col, vec: array<double>).
     """
     if not cent_rows:
@@ -125,28 +151,28 @@ def _nearest_cells(
         return vectors.select(
             F.col(id_col), F.lit(None).cast("long").alias("centroid_id"), "vec"
         ).filter(F.lit(False))
-    cells = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(F.col("vec"), F.array(*[F.lit(x) for x in cvec])), 6
-                ).alias("sim"),
-                F.lit(int(cid)).cast("long").alias("centroid_id"),
-            )
-            for cid, cvec in cent_rows
-        ]
+
+    def cos_sql(carr: str) -> str:
+        # Mirrors cosine()/dot()/l2_norm() above expression-for-expression.
+        return (
+            f"aggregate(zip_with(vec, {carr}, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v)"
+            " / (sqrt(aggregate(vec, 0.0D, (acc, v) -> acc + v * v))"
+            f" * sqrt(aggregate({carr}, 0.0D, (acc, v) -> acc + v * v)))"
+        )
+
+    cell_sql = ", ".join(
+        "named_struct('sim', round("
+        + cos_sql("array(" + ", ".join(_sql_double(float(x)) for x in cvec) + ")")
+        + f", 6), 'centroid_id', CAST({int(cid)} AS BIGINT))"
+        for cid, cvec in cent_rows
     )
-    ranked = F.slice(
-        F.array_sort(
-            cells,
-            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-            .when(l["sim"] < r["sim"], F.lit(1))
-            .when(l["centroid_id"] < r["centroid_id"], F.lit(-1))
-            .when(l["centroid_id"] > r["centroid_id"], F.lit(1))
-            .otherwise(F.lit(0)),
-        ),
-        1,
-        min(n_probe, len(cent_rows)),
+    ranked = F.expr(
+        f"slice(array_sort(array({cell_sql}), (l, r) -> "
+        "CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+        "WHEN l.centroid_id < r.centroid_id THEN -1 "
+        "WHEN l.centroid_id > r.centroid_id THEN 1 ELSE 0 END), "
+        f"1, {min(n_probe, len(cent_rows))})"
     )
     return vectors.select(
         F.col(id_col), F.explode(ranked).alias("__cell"), "vec"
