@@ -353,3 +353,79 @@ def test_near_dup_full_auto_matches_floor_at_small_scale(spark):
     a = sorted(map(tuple, full_auto.collect()))
     b = sorted(map(tuple, pinned.collect()))
     assert a == b and len(a) > 0
+
+
+def test_nearest_cells_sql_form_matches_column_api_reference(spark):
+    """_nearest_cells composes its argmax projection as ONE SQL string (r14:
+    the Column-by-Column form cost a py4j round trip per centroid element).
+    The SQL spellings must parse to the SAME Catalyst expressions — assert
+    bit-identical output against a Column-API reference built the old way,
+    over awkward doubles (shortest-repr round-trip: 1/3, 1e-300, -0.0),
+    an exact sim tie (centroid_id ASC break), and n_probe slicing."""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.similarity import (
+        _nearest_cells,
+        cosine,
+    )
+
+    cent_rows = [
+        (7, [1.0 / 3.0, 1e-300, -0.0, 2.5]),
+        (3, [1.0 / 3.0, 1e-300, -0.0, 2.5]),  # duplicate vector: sim ties, id 3 wins
+        (9, [-1.0, 0.25, 3.0, -7.5]),
+    ]
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.2, -0.3, 0.7]), (2, [-2.0, 0.5, 1.5, -3.0])],
+        "vec_id long, embedding array<float>",
+    ).select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+
+    def reference(n_probe):  # the pre-r14 Column-by-Column construction
+        cells = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(F.col("vec"), F.array(*[F.lit(x) for x in cv])), 6
+                    ).alias("sim"),
+                    F.lit(int(cid)).cast("long").alias("centroid_id"),
+                )
+                for cid, cv in cent_rows
+            ]
+        )
+        ranked = F.slice(
+            F.array_sort(
+                cells,
+                lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+                .when(l["sim"] < r["sim"], F.lit(1))
+                .when(l["centroid_id"] < r["centroid_id"], F.lit(-1))
+                .when(l["centroid_id"] > r["centroid_id"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ),
+            1,
+            min(n_probe, len(cent_rows)),
+        )
+        return vecs.select(
+            "vec_id", F.explode(ranked).alias("__cell"), "vec"
+        ).select("vec_id", F.col("__cell.centroid_id").alias("centroid_id"), "vec")
+
+    for n_probe in (1, 2, 3):
+        got = sorted(
+            (r.vec_id, r.centroid_id, tuple(r.vec))
+            for r in _nearest_cells(vecs, cent_rows, n_probe, "vec_id").collect()
+        )
+        want = sorted(
+            (r.vec_id, r.centroid_id, tuple(r.vec))
+            for r in reference(n_probe).collect()
+        )
+        assert got == want and len(got) == 2 * n_probe
+    # tie-break sanity: the duplicated centroid vector must resolve to id 3
+    top1 = {
+        r.vec_id: r.centroid_id
+        for r in _nearest_cells(vecs, cent_rows, 1, "vec_id").collect()
+    }
+    assert 9 in top1.values() or 3 in top1.values()
+    assert 7 not in top1.values()  # id 3 always beats the tied id 7
+    # degenerate empty model: zero rows, stable schema
+    empty = _nearest_cells(vecs, [], 1, "vec_id")
+    assert empty.count() == 0 and empty.columns == ["vec_id", "centroid_id", "vec"]
