@@ -28,10 +28,35 @@ like this; see SURVEY.md §7 north-star scope.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .materialize import pin, unpin
+
+
+def _pin_step_counting_changes(df: DataFrame) -> tuple[DataFrame, int]:
+    """Pin one propagation round's ``(node, old_label, label)`` output and
+    return ``(pinned (node, label) frame, changed-label count)`` — both from
+    ONE action (r15, guide §2.4: cut the CC loop's per-round driver actions).
+
+    The loop previously ran a separate ``filter(label != old_label).limit(1)
+    .count()`` job after every pin — a full extra driver round trip + job per
+    round whose input was the blocks the pin had just written. An
+    ``Observation`` attaches a CollectMetrics node that streams rows WHILE the
+    eager checkpoint materializes them, so the convergence count arrives with
+    the pin action itself (verified: ``Observation.get`` returns after a bare
+    ``localCheckpoint(eager=True)``, including on empty frames). Bonus:
+    ``old_label`` is consumed by the metric below the projection, so the
+    checkpointed blocks now carry only (node, label) — one column fewer than
+    before.
+    """
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.when(F.col("label") != F.col("old_label"), 1)).alias("changed"),
+    ).select("node", "label")
+    pinned = pin(observed, required=True)
+    return pinned, int(obs.get["changed"])
 
 
 def connected_components(
@@ -146,35 +171,31 @@ def connected_components(
     # scheduled job — or, without the persist, recomputing round 0 three
     # times (measured: plain lazy fusion is SLOWER than two pins because
     # ReusedExchange does not dedup the three references under AQE).
-    # old_label carries round 0's output, so the convergence count below
-    # certifies round 1 changed nothing — near-dup graphs are dense little
-    # cliques (diameter 1-3) that converge in round 0, making one pin + one
-    # count the COMMON whole-loop cost (previously: two pins + a count).
-    # Later rounds still pin one step at a time, keeping the per-round plan
-    # constant-size.
+    # old_label carries round 0's output, so the convergence count —
+    # observed DURING the pin action itself, see _pin_step_counting_changes —
+    # certifies round 1 changed nothing: near-dup graphs are dense little
+    # cliques (diameter 1-3) that converge in round 0, making ONE job the
+    # COMMON whole-loop cost (r13: two pins + a count job; r15: the count
+    # rides the pin). Later rounds still pin one step at a time, keeping the
+    # per-round plan constant-size.
     l1 = one_round(labels, jump=False).select("node", "label").persist()
-    step = pin(one_round(l1, jump=True), required=True)
+    step, changed = _pin_step_counting_changes(one_round(l1, jump=True))
     l1.unpersist()  # pinned step is materialized; the cache is dead weight
-    labels = step.select("node", "label")
     converged = False
     for i in range(1, max_iter):
-        changed = (
-            step.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
         if changed == 0:
             converged = True
             break
         if i == max_iter - 1:
             break  # cap reached with labels still moving
         prev = step
-        step = pin(one_round(labels, jump=True), required=True)
+        step, changed = _pin_step_counting_changes(one_round(step, jump=True))
         # The new step is materialized (eager pin), so the previous round's
         # blocks are unreachable from any live plan — free them NOW instead
         # of leaving a generation of dead storage per round (see
         # materialize.unpin: the GC-released path measurably poisons later
         # queries in the same session and OOMed the sf10 ladder rung).
         unpin(prev)
-        labels = step.select("node", "label")
     if not converged:
         raise ValueError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -184,7 +205,7 @@ def connected_components(
     # Only the FINAL step backs the returned frame; the symmetric edge pin —
     # the big one, two rows per input pair — is dead once that step exists.
     unpin(sym)
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    return step.select("node", F.col("label").alias("cluster_id"))
 
 
 def attach_clusters(

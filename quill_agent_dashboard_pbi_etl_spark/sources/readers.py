@@ -44,7 +44,9 @@ TABLES = (
 _TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Read one driver-generated parquet table.
 
     ``events.ts`` must land as a UTC-instant TimestampType (schemas.py declares
@@ -61,12 +63,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The analyzed lazy plan is memoized per (session, path) — see
     ``_TABLE_PLAN_CACHE``. The file listing is snapshotted at first
     construction (same semantics as a SQL view's resolved file index within
-    one session).
+    one session). The memoized tables are the driver's IMMUTABLE testdata;
+    any code path that WRITES under ``sf_dir`` and re-reads through here must
+    pass ``refresh=True`` (r15 staleness guard: a stale snapshot would
+    silently miss the new files — no engine path does this today, the ledger
+    readers in sinks.py/dedup.py own their paths and never route through
+    this memo).
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_PLAN_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if not refresh:
+        cached = _TABLE_PLAN_CACHE.get(key)
+        if cached is not None:
+            return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name != "ts":

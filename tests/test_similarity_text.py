@@ -429,3 +429,60 @@ def test_nearest_cells_sql_form_matches_column_api_reference(spark):
     # degenerate empty model: zero rows, stable schema
     empty = _nearest_cells(vecs, [], 1, "vec_id")
     assert empty.count() == 0 and empty.columns == ["vec_id", "centroid_id", "vec"]
+
+
+def test_nearest_cells_size_guard_crossjoin_matches_literal(spark):
+    """r15 plan-size guard: models over MAX_LITERAL_CENTROID_ELEMS total
+    elements take the broadcast-crossJoin + window shape instead of embedding
+    n_cells x dim literals in one SQL expression. Rows must be identical on
+    BOTH sides of the threshold — including an exact sim tie (centroid_id ASC
+    break) and n_probe slicing. (A zero-norm vector is NOT a reachable lane:
+    under ANSI mode — the Spark 4 default this engine runs with — BOTH paths
+    raise DIVIDE_BY_ZERO on the 0/0 cosine, identically.)"""
+    from pyspark.sql import functions as F
+
+    from quill_agent_dashboard_pbi_etl_spark.operators.similarity import (
+        MAX_LITERAL_CENTROID_ELEMS,
+        _nearest_cells,
+    )
+
+    cent_rows = [
+        (7, [1.0 / 3.0, 1e-300, -0.0, 2.5]),
+        (3, [1.0 / 3.0, 1e-300, -0.0, 2.5]),  # duplicate vector: sim tie
+        (9, [-1.0, 0.25, 3.0, -7.5]),
+    ]
+    assert sum(len(cv) for _, cv in cent_rows) < MAX_LITERAL_CENTROID_ELEMS
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2, -0.3, 0.7]),
+            (2, [-2.0, 0.5, 1.5, -3.0]),
+            (5, [1e-30, -1e-30, 1e-30, -1e-30]),  # tiny but nonzero norm
+        ],
+        "vec_id long, embedding array<float>",
+    ).select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+
+    def rows(max_elems):
+        return sorted(
+            (r.vec_id, r.centroid_id, tuple(r.vec))
+            for r in _nearest_cells(
+                vecs, cent_rows, n_probe, "vec_id", max_literal_elems=max_elems
+            ).collect()
+        )
+
+    for n_probe in (1, 2, 3):
+        lit = rows(10**9)   # far above: literal-embedded path
+        fb = rows(1)        # far below: crossJoin fallback
+        assert lit == fb and len(lit) == 3 * n_probe
+    # Shape assertions: the fallback plans a window (+ broadcast join); the
+    # literal path stays a pure projection with neither.
+    n_probe = 1
+    lit_plan = _nearest_cells(
+        vecs, cent_rows, 1, "vec_id", max_literal_elems=10**9
+    )._jdf.queryExecution().executedPlan().toString()
+    fb_plan = _nearest_cells(
+        vecs, cent_rows, 1, "vec_id", max_literal_elems=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in lit_plan and "Join" not in lit_plan
+    assert "Window" in fb_plan
