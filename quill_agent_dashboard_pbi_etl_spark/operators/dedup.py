@@ -1269,7 +1269,17 @@ def ngram_jaccard_pairs(
             docs, text_col, id_col, shingle_n, threshold
         )
 
-    sh = pin(  # joined 3× below; GC-released by default, strategy-selectable
+    # NOTE (r15 measured pitfall, same family as the minhash sig_0 filter):
+    # naming the gram array in its own projection (to read set_size row-local
+    # via F.size before the explode) lets the optimizer push that Project
+    # BELOW the ensure_min_partitions round-robin exchange — the whole
+    # shingle subtree then runs in the (often single-task) scan stage:
+    # measured 10.8 s on ONE task at sf0.1, a 6× whole-query regression. The
+    # generator form below keeps the shingle expression inside the Generate
+    # node ABOVE the exchange (32-way); set_size is attached afterwards by
+    # broadcast-joining the (tiny, one-row-per-doc) sizes aggregate onto the
+    # pinned index instead.
+    sh = pin(  # joined below; GC-released by default, strategy-selectable
         ensure_min_partitions(docs)
         .select(
             F.col(id_col),
@@ -1278,7 +1288,12 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle_h"))
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    index = sh
+    # Attach per-doc set sizes to the index rows (one broadcast hash join,
+    # build side = |docs| rows) so the candidate self-join can apply the
+    # lossless size-ratio prefilter below, and the pair groupBy can carry
+    # sizes via first() — removing both post-agg sizes joins. The identical
+    # broadcast subtree on the l/r sides is deduplicated by ReuseExchange.
+    index = sh.join(F.broadcast(sizes), id_col)
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("shingle_h")
@@ -1286,7 +1301,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_doc_freq)
             .select("shingle_h")
         )
-        index = sh.join(rare, "shingle_h", "left_semi")
+        index = index.join(rare, "shingle_h", "left_semi")
+    # Lossless size-ratio prefilter AT the candidate join (r15, guide §2.2 —
+    # cut candidate volume before the pair exchange): J(A,B) ≤ min/max of the
+    # set sizes always, and round(J, 6) ≥ t requires J ≥ t − 5e-7, so any
+    # pair with min < (t − 1e-6)·max provably cannot pass the threshold —
+    # no false negatives, the margin over-covers the 6-dp rounding. Measured
+    # at sf0.1: 1.27 M collision rows → 0.97 M into the (doc_a, doc_b)
+    # exchange (−24%; stronger on real corpora where lengths actually vary).
     pairs = (
         index.alias("l")
         .join(
@@ -1294,17 +1316,22 @@ def ngram_jaccard_pairs(
             on=[
                 F.col("l.shingle_h") == F.col("r.shingle_h"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                F.least(F.col("l.set_size"), F.col("r.set_size"))
+                >= (threshold - 1e-6)
+                * F.greatest(F.col("l.set_size"), F.col("r.set_size")),
             ],
         )
         .groupBy(
             F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("l.set_size")).alias("size_a"),
+            F.first(F.col("r.set_size")).alias("size_b"),
+        )
     )
     return (
-        pairs.join(sizes.withColumnsRenamed({id_col: "doc_a", "set_size": "size_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({id_col: "doc_b", "set_size": "size_b"}), "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6

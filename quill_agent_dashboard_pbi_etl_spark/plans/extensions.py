@@ -935,11 +935,21 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = clustering.canonical_survivors(clustered).select(
         "doc_id", "cluster_size"
     )
-    kept = survivors.join(
-        q_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id"),
-        "doc_id",
+    # r15 (guide §8 "decide with small rows"): evaluate the quality gate on
+    # the survivor rows only, AFTER the join — the gate is row-local on text
+    # and inner joins commute with row-local filters, so this is
+    # row-identical to gating the whole corpus first (the oracle's shape),
+    # while the tokenize/regex/marker expressions run over |survivors| rows
+    # instead of the full corpus.
+    enriched = (
+        T.with_text_prep(
+            survivors.join(
+                docs.select("doc_id", "lang", "source", "text"), "doc_id"
+            )
+        )
+        .filter(T.quality_keep_prepped())
+        .select("doc_id", "lang", "source", "cluster_size")
     )
-    enriched = kept.join(docs.select("doc_id", "lang", "source"), "doc_id")
     sampled = clustering.stratified_sample(
         enriched, "doc_id", "lang", {"en": 80, "de": 50, "zh": 40}, default_pct=25
     )
