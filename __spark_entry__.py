@@ -60,94 +60,99 @@ def _wrap(fn: registry.Query) -> registry.Query:
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries() in
-# iteration order. Round-14 rotation policy: (a) the full round-12-dated
-# backlog — exactly the 45 keys of CORRECTNESS_r12.json minus the five
-# re-checked as canaries in round 13 — which would cross the two-round
-# freshness boundary this round; (b) the same five canaries AGAIN,
-# because round-14 code changes touch exactly the same three modules a
-# third round running (streaming/pipeline.py's verify read-back becomes a
-# range prune — the ADVICE r13 midnight-replay fix — and the sink's
-# partition flag goes three-valued; sinks.py gains the durable layout
-# marker; operators/dedup.py routes ledger_gate / ledger_update_atomic
-# through the shared gate_anti_join flip-regime selector). (a)+(b) =
-# exactly 50. Two (a) entries are engine-native ops with no DuckDB
-# oracle — rows-only BY DESIGN, each paired with an oracle-backed
-# contract in the same window (multimodal_real_decode ↔
-# multimodal_features, the deterministic feature side of the same decode
-# plumbing; embedding_near_dup_lsh ↔ embedding_lsh_recall, whose exact
-# side is oracled); they are declared in _ROWS_ONLY_WINDOW_OK below.
-# Every entry outside the window was driver-green in round 13 with
-# unchanged code since; tools/check_oracle.py still sweeps all entries
-# regardless of order.
+# iteration order. Round-15 rotation policy: (a) the full round-13-dated
+# backlog — exactly the 45 r13-window keys (the "queries_dropped" list of
+# PERF_r14.json), which would cross the two-round freshness boundary this
+# round. This backlog ALREADY contains the r14 verdict's mandated
+# changed-path canaries (ann_ivf_topk / ann_ivf_trained_topk /
+# ann_ivf_recall / approx_distinct_agents_check — VERDICT next-round item
+# 2) plus the queries this round's pair-generation and CC-loop changes
+# touch most (dup_clusters, dedup_survivors, corpus_pipeline_full,
+# dedup_minhash_lsh). (b) five r14-green entries re-checked EARLY because
+# round-15 code changes their paths: semantic_dup_clusters (CC observe
+# fusion), dedup_ngram_jaccard (size-ratio prefilter + first()-carried
+# sizes), simhash_near_dup (branchless votes), and time_filter_today /
+# adapter_normalize (webhook_mapping.py gained the nd-barrier escape
+# hatch; default-on plans are unchanged, these canaries prove it).
+# (a)+(b) = exactly 50. Four (a) entries are engine-native/approximate ops
+# with no DuckDB oracle — rows-only BY DESIGN, each paired with an
+# oracle-backed contract in the same window (approx_distinct_agents ↔
+# approx_distinct_agents_check; value_percentiles_approx ↔
+# value_percentiles_approx_check; ann_ivf_topk / ann_ivf_trained_topk ↔
+# ann_ivf_recall) — declared in _ROWS_ONLY_WINDOW_OK below. Every entry
+# outside the window was driver-green in round 14 with unchanged code
+# since; tools/check_oracle.py still sweeps all entries regardless of
+# order.
 _DRIVER_PRIORITY = [
-    # -- (a) round-12-dated backlog hitting the two-round staleness boundary --
-    "quality_drift_by_source",
-    "fact_error_log",
-    "frequent_tokens_cms_check",
-    "quality_filter",
-    "adapter_normalize",
-    "roster_gate",
-    "run_counters",
-    "dim_hints",
-    "time_filter_today",
-    "daily_rollup",
-    "salted_metric_rollup",
-    "goal_attainment",
-    "pace_color",
-    "dim_date_seed",
-    "time_filter_custom_range",
-    "star_join_enriched",
-    "ensure_dims_missing_dates",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "region_revenue",
-    "tpch_q6_revenue_delta",
-    "tpch_q4_order_priority",
-    "tpch_q9_profit_by_nation",
-    "top_customers_per_nation",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q16_supplier_part_variety",
-    "tpch_q18_large_volume_customers",
-    "multi_source_union",
-    "cumulative_agent_counts",
-    "dim_metric_sync",
-    "dim_shift_sync",
-    "asof_last_purchase",
-    "events_in_shift",
-    "tpch_q2_cheapest_supplier",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q20_part_suppliers",
-    "tpch_q14_promo_revenue_share",
-    "dedup_ngram_jaccard",
-    "simhash_near_dup",
-    "sessionize_events",
-    "multimodal_real_decode",
-    "multimodal_features",
-    "embedding_near_dup_lsh",
-    "embedding_lsh_recall",
-    "semantic_dup_clusters",
-    # -- (b) r13-green, re-checked early: round-14 code touches their paths --
-    "ledger_gate_bloom",     # dedup.py gate selector refactor (gate_anti_join)
-    "ledger_gate",           # now routes through the flip-regime selector
-    "ledger_update",         # claim cycle — sinks.py layout marker, sink flag
-    "within_batch_dedup",    # keep_first path inside the reworked sink module
-    "ingest_pipeline_full",  # shares the ingest graph with streaming/pipeline
+    # -- (a) round-13-dated backlog hitting the two-round staleness boundary --
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "ann_ivf_recall",            # r14+r15 changed path: IVF literal argmax
+    "ann_ivf_topk",              # rows-only, contract = ann_ivf_recall
+    "ann_ivf_trained_topk",      # rows-only, contract = ann_ivf_recall
+    "approx_distinct_agents",    # rows-only, contract = _check below
+    "approx_distinct_agents_check",  # r14 changed path: HLL-state cut
+    "corpus_pipeline_full",      # r15 changed path: survivor-only gate
+    "corpus_shards",
+    "corpus_stats_by_source",
+    "decontamination_flags",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_survivors",           # r15 changed path: CC observe + prefilter
+    "dim_agent_sync",
+    "doc_fingerprint",
+    "dup_clusters",              # r15 changed path: CC observe + prefilter
+    "embedding_near_dup",
+    "frequent_tokens",
+    "hubspot_stub",
+    "lang_id",
+    "quality_scores",
+    "repetition_stats",
+    "rollup_grouping_sets",
+    "sequence_packing",
+    "stratified_sample",
+    "time_filter_last_month",
+    "time_filter_last_week",
+    "time_filter_this_month",
+    "time_filter_this_week",
+    "time_filter_yesterday",
+    "token_counts",
+    "tpch_q10_returned_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q8_market_share",
+    "value_percentiles",
+    "value_percentiles_approx",  # rows-only, contract = _check below
+    "value_percentiles_approx_check",
+    # -- (b) r14-green, re-checked early: round-15 code touches their paths --
+    "semantic_dup_clusters",     # connected_components observe fusion
+    "dedup_ngram_jaccard",       # size-ratio prefilter, sizes via first()
+    "simhash_near_dup",          # branchless vote kernel
+    "time_filter_today",         # webhook_mapping barrier escape hatch
+    "adapter_normalize",         # same module; proves default plans unchanged
 ]
 
 # In-window entries deliberately checked rows-only (no DuckDB oracle — the
-# op is engine-native). Each has an oracle-backed contract also in the
-# window: multimodal_real_decode ↔ multimodal_features (same decode
-# plumbing, deterministic feature side oracled; the real-decode golden
-# vectors live in pytest); embedding_near_dup_lsh ↔ embedding_lsh_recall
-# (recall contract against the oracled exact near-dup side). The four
-# approximate ops checked rows-only in round 13 (approx_distinct_agents,
-# value_percentiles_approx, ann_ivf_topk, ann_ivf_trained_topk) are
-# round-13-green with their contracts and sit outside this window, so
-# they must NOT appear here (the invariants test asserts the allowlist
-# is exact).
+# op is engine-native/approximate). Each has an oracle-backed contract also
+# in the window: approx_distinct_agents ↔ approx_distinct_agents_check
+# (exact-count cross-check), value_percentiles_approx ↔
+# value_percentiles_approx_check (rank-error contract), ann_ivf_topk /
+# ann_ivf_trained_topk ↔ ann_ivf_recall (recall vs the oracled brute-force
+# side). multimodal_real_decode and embedding_near_dup_lsh were rows-only-
+# checked in round 14 with their oracled contracts and sit outside this
+# window, so they must NOT appear here (the invariants test asserts the
+# allowlist is exact).
 _ROWS_ONLY_WINDOW_OK = {
-    "multimodal_real_decode",
-    "embedding_near_dup_lsh",
+    "approx_distinct_agents",
+    "value_percentiles_approx",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
 }
 
 

@@ -838,11 +838,18 @@ def make_png16_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     return make_png_profile_bytes(seed, width, height, color_type=2, bit_depth=16)
 
 
-def fake_decode(payload: bytes, modality: str) -> tuple[list[float], int]:
+def fake_decode(
+    payload: bytes, modality: str, digest: bytes | None = None
+) -> tuple[list[float], int]:
     """Deterministic stand-in decoder: derives a tiny 'feature vector' from
     the payload's sha256 and a 'frame count' from its length — stable across
-    runs/engines, exercising the exact data shapes of a real decoder."""
-    digest = hashlib.sha256(payload).digest()
+    runs/engines, exercising the exact data shapes of a real decoder.
+    ``digest`` lets a caller that already hashed the payload (the feature
+    extractor emits content_sha256 anyway) pass it in instead of hashing the
+    bytes a second time — sha256 is O(payload bytes), the dominant cost of
+    this decoder on large assets (r15, guide §1.2 per-task work)."""
+    if digest is None:
+        digest = hashlib.sha256(payload).digest()
     feats = [b / 255.0 for b in digest[:8]]
     frames = 1 if modality == "image" else max(1, len(payload) // 64)
     return feats, frames
@@ -856,8 +863,6 @@ def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataF
     possible and the output is a narrow features table, so the wide binary
     column never shuffles.
     """
-    decoder = decode_asset if use_real_decoder else fake_decode
-
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -865,13 +870,20 @@ def extract_features(assets: DataFrame, use_real_decoder: bool = False) -> DataF
                 pdf["asset_id"], pdf["modality"], pdf["content"]
             ):
                 payload = bytes(content) if content is not None else b""
-                feats, frames = decoder(payload, modality)
+                # Hash ONCE per asset: content_sha256 needs it anyway, and
+                # the fake decoder accepts the digest instead of re-hashing
+                # the full payload (identical bytes → identical features).
+                sha = hashlib.sha256(payload)
+                if use_real_decoder:
+                    feats, frames = decode_asset(payload, modality)
+                else:
+                    feats, frames = fake_decode(payload, modality, sha.digest())
                 rows.append(
                     {
                         "asset_id": asset_id,
                         "modality": modality,
                         "byte_len": len(payload),
-                        "content_sha256": hashlib.sha256(payload).hexdigest(),
+                        "content_sha256": sha.hexdigest(),
                         "feat_mean": float(sum(feats) / len(feats)) if feats else 0.0,
                         "feat_dim": len(feats),
                         "frames_sampled": frames,

